@@ -1,0 +1,50 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+Local mode is the sandbox stand-in for a multi-executor cluster; the configs
+below are chosen so the same code deploys unchanged via
+``spark-submit --py-files`` (SURVEY.md §3 E1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "transcript-rollup",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the canonical SparkSession.
+
+    ``master=None`` defers to spark-submit / an existing session, so the same
+    entry points run under a real cluster manager unchanged.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    if shuffle_partitions is None:
+        # match parallelism, not the 200 default (local mode = 1 JVM)
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        shuffle_partitions = cpus
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # bound Arrow batches crossing the JVM<->Python boundary (SURVEY §4)
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
