@@ -30,3 +30,13 @@ CHANNELS = {
     "inter_turn_latency": (1e6, "microseconds between consecutive turns"),
     "tool_cadence": (1.0, "1 if the turn is a tool call else 0"),
 }
+
+from .operators.channels import dedup_turns, derive_channels  # noqa: E402,F401
+from .operators.features import (  # noqa: E402,F401
+    aggregate_tier,
+    features_from_turns,
+    finalize_features,
+)
+from .operators.rollup import cascade, rollup_merge  # noqa: E402,F401
+from .sources.sinks import expire, write_tier  # noqa: E402,F401
+from .sources.transcripts import read_transcripts, resolve_snapshot  # noqa: E402,F401

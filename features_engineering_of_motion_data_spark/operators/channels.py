@@ -18,15 +18,24 @@ _NULL_LAST = "￿"
 
 def dedup_turns(df: DataFrame) -> DataFrame:
     """P4: keep the first row per (conv_id, turn_idx) under the deterministic
-    tie-break (ts asc, md5(text) asc, nulls last)."""
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+    tie-break (ts asc, md5(text) asc, nulls last).
+
+    Deliberately windowed by ``conv_id`` alone (ordered by turn_idx, ts, md5)
+    rather than by (conv_id, turn_idx): ``HashPartitioning(conv_id)``
+    satisfies the clustering required by every downstream window/groupBy in
+    the pipeline (all key on conv_id supersets), so dedup → channels → tier
+    aggregation → full cascade runs on a SINGLE shuffle.
+    """
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc(),
         F.col("ts").asc(),
         F.coalesce(F.md5(F.col("text").cast("binary")), F.lit(_NULL_LAST)).asc(),
     )
+    dup = F.lag("turn_idx").over(w) == F.col("turn_idx")
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.withColumn("_dup", F.coalesce(dup, F.lit(False)))
+        .filter(~F.col("_dup"))
+        .drop("_dup")
     )
 
 

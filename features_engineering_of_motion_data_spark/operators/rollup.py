@@ -1,0 +1,82 @@
+"""Rollup cascade — continuous-aggregate merge algebra (SURVEY.md §2.5 R1–R3).
+
+Tier T+1 is computed by *merging* tier T's sufficient statistics, never by
+re-reading raw data, and — because every statistic is an exact integer and
+every merge an integer add/min/max — the result is bit-identical to computing
+T+1 directly from the turns (property-tested in tests/test_cascade.py).
+
+The only order-sensitive term is the zero-crossing boundary: when fine buckets
+A, B (consecutive in ``bucket_us`` order within one coarse bucket) merge, the
+consecutive-turn pair (last turn of A, first turn of B) may itself cross zero:
+``sign(last_val_A) · sign(first_val_B) < 0`` (DESIGN.md §3). That term is
+computed with one lag window partitioned by the *coarse* key, which hash-
+clusters exactly like the groupBy that follows, so the whole merge is one
+shuffle — and even that shuffle is avoided when the frame is already
+partitioned by hash(conv_id) from the base aggregation (Spark's
+``HashPartitioning(conv_id)`` satisfies clustering on any superset of keys).
+
+Exactness note: concatenating fine buckets in ``bucket_us`` order equals turn
+order iff ``ts`` is monotone in ``turn_idx`` within each conversation — true
+of transcripts by construction (a conversation's turns happen in order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .features import TIER_US, aggregate_tier, finalize_features
+
+
+def _sign(col):
+    return F.when(col < 0, F.lit(-1)).otherwise(F.lit(1))
+
+
+def rollup_merge(stats: DataFrame, to_tier: str) -> DataFrame:
+    """Merge a finer tier's sufficient-statistics frame up to ``to_tier``.
+
+    Input must be a stats frame (aggregate_tier / rollup_merge output) whose
+    buckets are strictly finer than ``to_tier`` (1m→1h, 1h→1d, 1m→1d).
+    """
+    step = F.lit(TIER_US[to_tier])
+    coarse = (F.col("bucket_us") - F.pmod(F.col("bucket_us"), step)).alias("_coarse")
+
+    w = Window.partitionBy("conv_id", "channel", "_coarse").orderBy("bucket_us")
+    prev_last = F.lag("last_val").over(w)
+    boundary = (
+        prev_last.isNotNull() & (_sign(prev_last) * _sign(F.col("first_val")) < 0)
+    ).cast("long")
+
+    return (
+        stats.withColumn("_coarse", coarse)
+        .withColumn("_boundary", boundary)
+        .groupBy("conv_id", "channel", F.col("_coarse").alias("bucket_us"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.sum("s2").cast("decimal(38,0)").alias("s2"),
+            F.min("min_raw").alias("min_raw"),
+            F.max("max_raw").alias("max_raw"),
+            (F.sum("zc") + F.sum("_boundary")).alias("zc"),
+            F.min_by("first_ts_us", "bucket_us").alias("first_ts_us"),
+            F.max_by("last_ts_us", "bucket_us").alias("last_ts_us"),
+            F.min_by("first_val", "bucket_us").alias("first_val"),
+            F.max_by("last_val", "bucket_us").alias("last_val"),
+        )
+    )
+
+
+def cascade(channels: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d")) -> dict[str, DataFrame]:
+    """R3: base-aggregate the finest tier, then merge upward tier by tier.
+
+    Returns {tier: finalized feature DataFrame}. The plans share the base
+    stats lineage, so with ``.cache()`` on the base frame (callers' choice —
+    jobs/rollup.py does it) each higher tier is a cheap integer merge.
+    """
+    if not tiers:
+        return {}
+    order = sorted(tiers, key=lambda t: TIER_US[t])
+    stats = {order[0]: aggregate_tier(channels, order[0])}
+    for fine, coarse in zip(order, order[1:]):
+        stats[coarse] = rollup_merge(stats[fine], coarse)
+    return {t: finalize_features(s) for t, s in stats.items()}
