@@ -1,0 +1,440 @@
+"""Time-series queries over the driver's ``events`` fixture.
+
+``events`` is the transcript-stream stand-in (FIXTURES.md §B): user_id →
+conv_id, value → signal. Every pair here follows the exact-integer bridging
+contract from the package docstring: doubles are scaled to cent BIGINTs, all
+cross-engine aggregation is integer, derived floats use pinned IEEE-754 op
+sequences written identically in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_id, event_id, event_type, ts_us (epoch µs), c (value in cents)."""
+    return _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        # fixture parquet carries TIMESTAMP_NTZ; session TZ is pinned UTC so
+        # the cast to TIMESTAMP is value-preserving
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+
+
+def _bucket(col, step: int):
+    return col - F.pmod(col, F.lit(step))
+
+
+# --- q01: A1–A8 feature aggregation, 1h tier (flagship) ----------------------
+
+
+def q01_tier_features_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _base(spark, sf_dir)
+        .groupBy(
+            F.col("user_id").alias("conv_id"),
+            _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s1_cents"),
+            F.sum(F.col("c") * F.col("c")).alias("s2_cents2"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+    )
+    fn = F.col("n").cast("double")
+    m = F.col("s1_cents").cast("double") / fn
+    q = F.col("s2_cents2").cast("double") / fn
+    var = F.greatest(q - m * m, F.lit(0.0))
+    return s.select(
+        "conv_id",
+        "bucket_us",
+        "n",
+        "s1_cents",
+        "s2_cents2",
+        "min_cents",
+        "max_cents",
+        (m / F.lit(100.0)).alias("f_mean"),
+        (F.sqrt(var) / F.lit(100.0)).alias("f_std"),
+        (F.sqrt(q) / F.lit(100.0)).alias("f_rms"),
+        (F.col("min_cents").cast("double") / F.lit(100.0)).alias("f_min"),
+        (F.col("max_cents").cast("double") / F.lit(100.0)).alias("f_max"),
+        (F.col("s2_cents2").cast("double") / F.lit(10000.0)).alias("f_energy"),
+    )
+
+
+_Q01_SQL = f"""
+WITH c AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS bucket_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), s AS (
+  SELECT user_id AS conv_id, bucket_us,
+         COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1_cents,
+         CAST(SUM(c * c) AS BIGINT) AS s2_cents2,
+         MIN(c) AS min_cents,
+         MAX(c) AS max_cents
+  FROM c GROUP BY 1, 2
+)
+SELECT conv_id, bucket_us, n, s1_cents, s2_cents2, min_cents, max_cents,
+       (CAST(s1_cents AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS f_mean,
+       sqrt(greatest(CAST(s2_cents2 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s1_cents AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s1_cents AS DOUBLE) / CAST(n AS DOUBLE)),
+                     0.0)) / 100.0 AS f_std,
+       sqrt(CAST(s2_cents2 AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS f_rms,
+       CAST(min_cents AS DOUBLE) / 100.0 AS f_min,
+       CAST(max_cents AS DOUBLE) / 100.0 AS f_max,
+       CAST(s2_cents2 AS DOUBLE) / 10000.0 AS f_energy
+FROM s
+"""
+
+
+# --- q02: zero crossings (A5), centered signal, 1d tier ----------------------
+
+
+def q02_zero_crossings_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crossings of (value − 100.00) per (user, day); a crossing is counted
+    in bucket b iff BOTH turns of the consecutive pair land in b (DESIGN §3)."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("x", F.col("c") - F.lit(10_000))
+        .withColumn("prev_x", F.lag("x").over(w))
+        .withColumn("prev_ts", F.lag("ts_us").over(w))
+    )
+    sign = F.when(F.col("x") < 0, -1).otherwise(1)
+    prev_sign = F.when(F.col("prev_x") < 0, -1).otherwise(1)
+    cross = (
+        F.col("prev_ts").isNotNull()
+        & (_bucket(F.col("prev_ts"), DAY_US) == _bucket(F.col("ts_us"), DAY_US))
+        & (sign * prev_sign < 0)
+    ).cast("long")
+    return (
+        d.withColumn("_cross", cross)
+        .groupBy(
+            F.col("user_id").alias("conv_id"),
+            _bucket(F.col("ts_us"), DAY_US).alias("bucket_us"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_cross").alias("f_zero_crossings"))
+    )
+
+
+_Q02_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) - 10000 AS x
+  FROM events
+), lagged AS (
+  SELECT user_id, ts_us, x,
+         lag(x) OVER w AS prev_x,
+         lag(ts_us) OVER w AS prev_ts
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id AS conv_id,
+       ts_us - ts_us % {DAY_US} AS bucket_us,
+       COUNT(*) AS n,
+       CAST(COALESCE(SUM(CASE WHEN prev_ts IS NOT NULL
+                      AND prev_ts - prev_ts % {DAY_US} = ts_us - ts_us % {DAY_US}
+                      AND (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+                          * (CASE WHEN prev_x < 0 THEN -1 ELSE 1 END) < 0
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f_zero_crossings
+FROM lagged GROUP BY 1, 2
+"""
+
+
+# --- q03: inter-event latency (W1 lag) ---------------------------------------
+
+
+def q03_inter_event_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    return (
+        _base(spark, sf_dir)
+        .withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy(F.col("user_id").alias("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+_Q03_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+)
+SELECT user_id AS conv_id,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+       MIN(gap_us) AS min_gap_us,
+       MAX(gap_us) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+"""
+
+
+# --- q04: turn rate (A8) -----------------------------------------------------
+
+
+def q04_turn_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _base(spark, sf_dir)
+        .groupBy(
+            F.col("user_id").alias("conv_id"),
+            _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("turn_rate", F.col("n").cast("double") / F.lit(3600.0))
+    )
+
+
+_Q04_SQL = f"""
+SELECT user_id AS conv_id,
+       epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS bucket_us,
+       COUNT(*) AS n,
+       CAST(COUNT(*) AS DOUBLE) / 3600.0 AS turn_rate
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- q05: dedup / keep-first (P4, W2) ----------------------------------------
+
+
+def q05_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    return (
+        _base(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("conv_id"),
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts_us").alias("first_ts_us"),
+        )
+    )
+
+
+_Q05_SQL = """
+WITH r AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+)
+SELECT user_id AS conv_id, event_type,
+       event_id AS first_event_id, ts_us AS first_ts_us
+FROM r WHERE rn = 1
+"""
+
+
+# --- q06: sessionization (conversation episodes; §2.10 batch analogue) -------
+
+
+def q06_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("ts_us").over(w)
+    new_sess = (
+        prev.isNull() | ((F.col("ts_us") - prev) > F.lit(SESSION_GAP_US))
+    ).cast("long")
+    per_sess = (
+        _base(spark, sf_dir)
+        .withColumn("sess_idx", F.sum(new_sess).over(wrun))
+        .groupBy("user_id", "sess_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+        )
+    )
+    return per_sess.groupBy(F.col("user_id").alias("conv_id")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.max("dur_us").alias("max_session_us"),
+    )
+
+
+_Q06_SQL = f"""
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM g
+), per_sess AS (
+  SELECT user_id, sess_idx, COUNT(*) AS n_events,
+         MAX(ts_us) - MIN(ts_us) AS dur_us
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id AS conv_id,
+       COUNT(*) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       MAX(dur_us) AS max_session_us
+FROM per_sess GROUP BY 1
+"""
+
+
+# --- q07: as-of join via window (J4) -----------------------------------------
+
+
+def q07_asof_prior_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error event: ts of the latest signup at-or-before it (same
+    user). Spark has no native as-of join; this is the documented window
+    formulation (SURVEY §2.3 J4)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sig = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts_us"))
+    ).over(w)
+    return (
+        _base(spark, sf_dir)
+        .withColumn("asof_signup_us", sig)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id"),
+            F.col("user_id").alias("conv_id"),
+            F.col("ts_us"),
+            "asof_signup_us",
+        )
+    )
+
+
+_Q07_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         MAX(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS UNBOUNDED PRECEDING) AS asof_signup_us
+  FROM events
+)
+SELECT event_id, user_id AS conv_id, ts_us, asof_signup_us
+FROM w WHERE event_type = 'error'
+"""
+
+
+# --- q08: json props (F5) ----------------------------------------------------
+
+
+def q08_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_Q08_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+# --- q09: top-k hot conversations (O2) ---------------------------------------
+
+
+def q09_topk_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.col("user_id").alias("conv_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("conv_id"))
+        .limit(10)
+    )
+
+
+_Q09_SQL = """
+SELECT user_id AS conv_id, COUNT(*) AS n
+FROM events GROUP BY 1
+ORDER BY n DESC, conv_id ASC LIMIT 10
+"""
+
+
+# --- q10: grouping sets / rollup (A10) ---------------------------------------
+
+
+def q10_rollup_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _base(spark, sf_dir)
+        .rollup("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_cents"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+_Q10_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY ROLLUP (event_type)
+"""
+
+
+QUERIES = {
+    "q01_tier_features_1h": q01_tier_features_1h,
+    "q02_zero_crossings_1d": q02_zero_crossings_1d,
+    "q03_inter_event_latency": q03_inter_event_latency,
+    "q04_turn_rate_1h": q04_turn_rate_1h,
+    "q05_dedup_first": q05_dedup_first,
+    "q06_sessionize": q06_sessionize,
+    "q07_asof_prior_signup": q07_asof_prior_signup,
+    "q08_json_props": q08_json_props,
+    "q09_topk_hot_users": q09_topk_hot_users,
+    "q10_rollup_event_types": q10_rollup_event_types,
+}
+
+ORACLE_SQL = {
+    "q01_tier_features_1h": _Q01_SQL,
+    "q02_zero_crossings_1d": _Q02_SQL,
+    "q03_inter_event_latency": _Q03_SQL,
+    "q04_turn_rate_1h": _Q04_SQL,
+    "q05_dedup_first": _Q05_SQL,
+    "q06_sessionize": _Q06_SQL,
+    "q07_asof_prior_signup": _Q07_SQL,
+    "q08_json_props": _Q08_SQL,
+    "q09_topk_hot_users": _Q09_SQL,
+    "q10_rollup_event_types": _Q10_SQL,
+}

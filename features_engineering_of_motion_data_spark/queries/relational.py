@@ -1,0 +1,254 @@
+"""Relational operator coverage on the TPC-H-ish fixtures (SURVEY.md §2.3,
+§2.9 J2/J3/J5, U1/U2, plus the classic pricing-summary aggregation).
+
+These exist for the driver's per-operator DuckDB spot checks; the engine's own
+domain is the transcripts cascade. Money doubles are bridged as exact cent /
+1e-4 / 1e-6 integers (see package docstring) so every sum is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- q11: TPC-H Q1-style pricing summary (hash agg, partial+final) -----------
+
+
+def q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000, 0
+    ).cast("long")
+    charge_e6 = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 1_000_000,
+        0,
+    ).cast("long")
+    s = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("count_order"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "sum_base_cents"
+        ),
+        F.sum(disc_e4).alias("sum_disc_price_e4"),
+        F.sum(charge_e6).alias("sum_charge_e6"),
+    )
+    fn = F.col("count_order").cast("double")
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        "count_order",
+        "sum_qty",
+        "sum_base_cents",
+        "sum_disc_price_e4",
+        "sum_charge_e6",
+        (F.col("sum_qty").cast("double") / fn).alias("avg_qty"),
+        (F.col("sum_base_cents").cast("double") / fn / F.lit(100.0)).alias(
+            "avg_price"
+        ),
+    )
+
+
+_Q11_SQL = """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         COUNT(*) AS count_order,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_base_cents,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                       AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                             * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS sum_charge_e6
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, count_order, sum_qty, sum_base_cents,
+       sum_disc_price_e4, sum_charge_e6,
+       CAST(sum_qty AS DOUBLE) / CAST(count_order AS DOUBLE) AS avg_qty,
+       CAST(sum_base_cents AS DOUBLE) / CAST(count_order AS DOUBLE) / 100.0
+         AS avg_price
+FROM s
+"""
+
+
+# --- q12: broadcast equi-join chain (J2) -------------------------------------
+
+
+def q12_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation — the two small dims are broadcast
+    explicitly (they are tiny at every sf; never let AQE guess wrong)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT n_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+# --- q13: semi-join (J3) -----------------------------------------------------
+
+
+def q13_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        customer.join(
+            open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+_Q13_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+# --- q14: anti-join (J1's shape) ---------------------------------------------
+
+
+def q14_customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        customer.join(
+            open_orders, customer.c_custkey == open_orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+_Q14_SQL = """
+SELECT c_custkey, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+# --- q15: theta / nested-loop join (J5) --------------------------------------
+
+
+def q15_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure inequality predicate → BroadcastNestedLoopJoin; aggregate-only
+    output keeps the check cheap."""
+    li = _t(spark, sf_dir, "lineitem").select("l_linenumber")
+    part = _t(spark, sf_dir, "part").select("p_brand", "p_size")
+    return (
+        li.join(broadcast(part), F.col("p_size") < F.col("l_linenumber"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_Q15_SQL = """
+SELECT p_brand, COUNT(*) AS n_pairs
+FROM lineitem JOIN part ON p_size < l_linenumber
+GROUP BY 1
+"""
+
+
+# --- q16/q17: set ops (U1/U2) ------------------------------------------------
+
+
+def q16_union_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.unionByName(b).distinct()
+
+
+_Q16_SQL = """
+SELECT user_id FROM events WHERE event_type = 'signup'
+UNION
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q17_error_only_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return a.exceptAll(b)
+
+
+_Q17_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+# --- q18: distinct cardinalities (A9) ----------------------------------------
+
+
+def q18_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_Q18_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+QUERIES = {
+    "q11_pricing_summary": q11_pricing_summary,
+    "q12_revenue_by_nation": q12_revenue_by_nation,
+    "q13_customers_with_open_orders": q13_customers_with_open_orders,
+    "q14_customers_without_open_orders": q14_customers_without_open_orders,
+    "q15_theta_join": q15_theta_join,
+    "q16_union_distinct_users": q16_union_distinct_users,
+    "q17_error_only_users": q17_error_only_users,
+    "q18_distinct_users": q18_distinct_users,
+}
+
+ORACLE_SQL = {
+    "q11_pricing_summary": _Q11_SQL,
+    "q12_revenue_by_nation": _Q12_SQL,
+    "q13_customers_with_open_orders": _Q13_SQL,
+    "q14_customers_without_open_orders": _Q14_SQL,
+    "q15_theta_join": _Q15_SQL,
+    "q16_union_distinct_users": _Q16_SQL,
+    "q17_error_only_users": _Q17_SQL,
+    "q18_distinct_users": _Q18_SQL,
+}

@@ -1,0 +1,74 @@
+"""Driver-mimic harness: every queries() entry vs its oracle_sql() on DuckDB,
+compared EXACTLY (ints/strings/bools exact; doubles bitwise — the package's
+exact-integer bridging contract makes that possible).
+
+Runs at sf0.001 for speed; the driver repeats this at sf0.01.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], bool):
+            df[c] = df[c].astype(bool)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+_NAMES = sorted(set(entrymod.queries()) & set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_query_matches_duckdb(spark, sf_dir, duck, name):
+    got = _canon(entrymod.queries()[name](spark, sf_dir).toPandas())
+    want = _canon(duck.execute(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows vs {len(want)}"
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            a = a.astype(np.float64)
+            b = b.astype(np.float64)
+            both_nan = np.isnan(a) & np.isnan(b)
+            bad = ~((a == b) | both_nan)  # bitwise double equality
+        else:
+            av = pd.Series(a).astype(object)
+            bv = pd.Series(b).astype(object)
+            bad = ~(
+                (av.values == bv.values) | (av.isna().values & bv.isna().values)
+            )
+        assert not bad.any(), (
+            f"{name}.{c}: {bad.sum()} mismatches; "
+            f"spark={a[bad][:3]} duckdb={b[bad][:3]}"
+        )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "f_mean" in df.columns

@@ -1,0 +1,35 @@
+"""MinHash+LSH near-dup path (q28) vs the brute-force exact-Jaccard oracle
+(q25): LSH may only drop pairs the banding provably might miss — everything it
+returns must be exactly a brute-force pair, and high-similarity pairs must
+always be found."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from features_engineering_of_motion_data_spark.queries.text import (
+    q25_ngram_jaccard_pairs,
+)
+from features_engineering_of_motion_data_spark.queries.vector import (
+    q28_minhash_lsh_pairs,
+)
+
+
+def _pairs(df: pd.DataFrame) -> set[tuple[int, int]]:
+    return set(zip(df["doc_a"].tolist(), df["doc_b"].tolist()))
+
+
+def test_lsh_pairs_subset_and_recall(spark, sf_dir):
+    brute = q25_ngram_jaccard_pairs(spark, sf_dir).toPandas()
+    lsh = q28_minhash_lsh_pairs(spark, sf_dir).toPandas()
+
+    bp, lp = _pairs(brute), _pairs(lsh)
+    # verification step makes LSH output a subset of the exact answer
+    assert lp <= bp, f"LSH produced non-pairs: {lp - bp}"
+    # banding recall: every pair with jaccard >= 0.6 must be found
+    strong = _pairs(brute[brute["jaccard"] >= 0.6])
+    assert strong <= lp, f"LSH missed strong pairs: {strong - lp}"
+    # values for common pairs are identical (same exact-verify arithmetic)
+    merged = brute.merge(lsh, on=["doc_a", "doc_b"], suffixes=("_b", "_l"))
+    assert (merged["n_inter_b"] == merged["n_inter_l"]).all()
+    assert (merged["jaccard_b"] == merged["jaccard_l"]).all()
