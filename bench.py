@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md M7; driver contract).
+
+Measures the engine's headline workload — rolled-up feature points/sec per
+retention tier on the deterministic bench-scale synthetic transcripts
+(~2M turns, incl. one 100k-turn hot conversation) — plus representative
+fixture queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "points_per_sec": {...},
+   "feature_points": {...}, "cpus": N}
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+BENCH/run_scaling.sh, which calls this file twice.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark import StorageLevel
+from pyspark.sql import functions as F
+
+from features_engineering_of_motion_data_spark.fixtures import (
+    ensure_transcripts_parquet,
+)
+from features_engineering_of_motion_data_spark.operators.channels import (
+    dedup_turns,
+    derive_channels,
+)
+from features_engineering_of_motion_data_spark.operators.features import (
+    aggregate_tier,
+    finalize_features,
+)
+from features_engineering_of_motion_data_spark.operators.rollup import rollup_merge
+from features_engineering_of_motion_data_spark.session import get_spark
+from features_engineering_of_motion_data_spark.sources.transcripts import (
+    read_transcripts,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "bench")
+
+
+def _force(df) -> int:
+    """Action that runs the full plan and returns the row count."""
+    return df.select(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+
+
+def main() -> None:
+    transcripts_path = ensure_transcripts_parquet(SCALE)
+    spark = get_spark(
+        master=f"local[{CPUS}]", app_name="bench", shuffle_partitions=CPUS
+    )
+    timings: dict[str, float] = {}
+    points: dict[str, int] = {}
+
+    # --- headline: tier cascade on bench transcripts -------------------------
+    turns = read_transcripts(spark, transcripts_path)
+    channels = derive_channels(dedup_turns(turns))
+
+    # warmup: run the full operator pipeline on a slice so codegen/JIT and
+    # parquet footer caching don't pollute the steady-state measurement
+    _force(aggregate_tier(derive_channels(dedup_turns(turns.limit(100_000))), "1m"))
+
+    t0 = time.perf_counter()
+    stats_1m = aggregate_tier(channels, "1m").persist(StorageLevel.MEMORY_AND_DISK)
+    points["rollup_1m"] = _force(finalize_features(stats_1m))
+    timings["rollup_1m"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    stats_1h = rollup_merge(stats_1m, "1h").persist(StorageLevel.MEMORY_AND_DISK)
+    points["rollup_1h"] = _force(finalize_features(stats_1h))
+    timings["rollup_1h"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    stats_1d = rollup_merge(stats_1h, "1d")
+    points["rollup_1d"] = _force(finalize_features(stats_1d))
+    timings["rollup_1d"] = time.perf_counter() - t0
+
+    stats_1m.unpersist()
+    stats_1h.unpersist()
+
+    # --- representative fixture queries at SF_DIR ----------------------------
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in (
+        "q01_tier_features_1h",
+        "q02_zero_crossings_1d",
+        "q06_sessionize",
+        "q11_pricing_summary",
+        "q25_ngram_jaccard_pairs",
+        "q26_ann_cosine_topk",
+        "q28_minhash_lsh_pairs",
+    ):
+        t0 = time.perf_counter()
+        points[name] = _force(qs[name](spark, SF_DIR))
+        timings[name] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "bench_scale": SCALE,
+        "feature_points": points,
+        "points_per_sec": {
+            t: round(points[t] / timings[t], 1)
+            for t in ("rollup_1m", "rollup_1h", "rollup_1d")
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -239,6 +239,7 @@ def ensure_transcripts_parquet(scale: str = "tiny", data_dir: str | None = None)
         )
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
-        pq.write_table(table, tmp)
+        # bounded row groups so a local[32] scan parallelizes over one file
+        pq.write_table(table, tmp, row_group_size=131072)
         os.replace(tmp, path)
     return path

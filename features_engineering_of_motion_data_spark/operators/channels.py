@@ -40,40 +40,57 @@ def dedup_turns(df: DataFrame) -> DataFrame:
 
 
 def derive_channels(df: DataFrame) -> DataFrame:
-    """P1 + W1 + melt: per-turn integer channel values in long format.
+    """P1 + W1 + melt: per-turn integer channel values in long format with
+    per-channel previous observations (``prev_x``, ``prev_ts_us``).
 
-    One shuffle (hash by conv_id for the lag window); the melt itself is
-    narrow. Output carries prev_x/prev_ts_us from the same window pass so
-    tier aggregation needs no further window.
+    Everything is computed in ONE window pass over ``(conv_id) ORDER BY
+    turn_idx`` *before* the melt, so the pipeline does a single sort and a
+    single hash(conv_id) exchange which the downstream tier groupBy reuses
+    (HashPartitioning on a key subset satisfies the clustering). The melt
+    itself is a narrow ``stack``. Channel-series adjacency tricks:
+
+    * latency channel: element i's predecessor is the latency at the previous
+      turn = ``lag(ts,1) − lag(ts,2)`` — expressed with plain lags to avoid a
+      nested-window (or second window pass) on the derived column;
+    * text_len channel skips null-text rows (gap-filled turns), so its
+      predecessor uses a running ``last(…, ignorenulls)`` frame.
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    base = (
-        df.select(
-            "conv_id",
-            "turn_idx",
-            F.unix_micros("ts").alias("ts_us"),
-            F.when(F.col("text").isNotNull(), F.length("text").cast("long")).alias(
-                "text_len"
-            ),
-            F.col("tool").isNotNull().cast("long").alias("tool_cadence"),
-        )
-        .withColumn("lat_us", F.col("ts_us") - F.lag("ts_us").over(w))
-    )
-    melted = base.selectExpr(
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    text_len = F.when(F.col("text").isNotNull(), F.length("text").cast("long"))
+    base = df.select(
+        "conv_id",
+        "turn_idx",
+        F.unix_micros("ts").alias("ts_us"),
+        text_len.alias("text_len"),
+        F.col("tool").isNotNull().cast("long").alias("tool_cadence"),
+    ).select(
         "conv_id",
         "turn_idx",
         "ts_us",
-        "stack(3, 'text_len', text_len, 'inter_turn_latency', lat_us,"
-        " 'tool_cadence', tool_cadence) as (channel, x)",
+        "text_len",
+        "tool_cadence",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("lat_us"),
+        F.last(F.when(F.col("text_len").isNotNull(), F.col("text_len")), True)
+        .over(wprev)
+        .alias("prev_text_x"),
+        F.last(F.when(F.col("text_len").isNotNull(), F.col("ts_us")), True)
+        .over(wprev)
+        .alias("prev_text_ts"),
+        (F.lag("ts_us", 1).over(w) - F.lag("ts_us", 2).over(w)).alias("prev_lat_x"),
+        F.when(F.lag("ts_us", 2).over(w).isNotNull(), F.lag("ts_us", 1).over(w)).alias(
+            "prev_lat_ts"
+        ),
+        F.lag("tool_cadence").over(w).alias("prev_tool_x"),
+        F.lag("ts_us").over(w).alias("prev_tool_ts"),
+    )
+    return base.selectExpr(
+        "conv_id",
+        "turn_idx",
+        "ts_us",
+        "stack(3,"
+        " 'text_len', text_len, prev_text_x, prev_text_ts,"
+        " 'inter_turn_latency', lat_us, prev_lat_x, prev_lat_ts,"
+        " 'tool_cadence', tool_cadence, prev_tool_x, prev_tool_ts"
+        ") as (channel, x, prev_x, prev_ts_us)",
     ).filter(F.col("x").isNotNull())
-    # per-(conv, channel) previous observation, ordered by turn_idx
-    wc = Window.partitionBy("conv_id", "channel").orderBy("turn_idx")
-    return melted.select(
-        "conv_id",
-        "channel",
-        "turn_idx",
-        "ts_us",
-        "x",
-        F.lag("x").over(wc).alias("prev_x"),
-        F.lag("ts_us").over(wc).alias("prev_ts_us"),
-    )
