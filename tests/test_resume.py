@@ -1,0 +1,87 @@
+"""Resume tests (SURVEY §5.5): kill after a partial run → resume → outputs
+identical to an uninterrupted run; snapshot-id mismatch aborts.
+
+Runs jobs/rollup.py in-process (same code path spark-submit executes) against
+the tiny fixture with 4 hash ranges.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from jobs.rollup import parse_args, run
+
+TIERS = ["1m", "1h"]
+
+
+def _run(args_list) -> int:
+    return run(parse_args(args_list))
+
+
+def _read_tiers(root: str) -> dict[str, pd.DataFrame]:
+    out = {}
+    for t in TIERS:
+        df = pd.read_parquet(os.path.join(root, f"tier={t}"))
+        df["s2"] = df["s2"].map(int)
+        out[t] = df.sort_values(
+            ["conv_id", "channel", "bucket_start"], kind="mergesort"
+        ).reset_index(drop=True)
+    return out
+
+
+@pytest.fixture(scope="module")
+def base_args(tiny_path):
+    return ["--input", tiny_path, "--tiers", ",".join(TIERS), "--num-parts", "4",
+            "--master", "local[4]"]
+
+
+def test_resume_after_crash_is_identical(tmp_path_factory, base_args):
+    full = str(tmp_path_factory.mktemp("full"))
+    part = str(tmp_path_factory.mktemp("partial"))
+
+    assert _run(base_args + ["--output", full]) == 0
+
+    # crash after 2 of 4 ranges, then resume
+    assert _run(base_args + ["--output", part, "--fail-after", "2"]) == 42
+    ckpt = os.path.join(part, "_ckpt.jsonl")
+    recs = [json.loads(x) for x in open(ckpt)]
+    assert len(recs) == 2
+    assert _run(base_args + ["--output", part, "--resume"]) == 0
+    recs = [json.loads(x) for x in open(ckpt)]
+    assert len(recs) == 4
+    assert {r["part_key"] for r in recs} == {0, 1, 2, 3}
+    assert all(r["rows_in"] > 0 for r in recs)
+
+    a, b = _read_tiers(full), _read_tiers(part)
+    for t in TIERS:
+        pd.testing.assert_frame_equal(a[t], b[t], check_exact=True)
+
+
+def test_snapshot_mismatch_aborts(tmp_path, base_args, tiny_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt.jsonl")
+    with open(ckpt, "w") as f:
+        f.write(
+            json.dumps(
+                {"snapshot_id": "deadbeef00000000", "part_key": 0,
+                 "rows_in": 1, "points_out": {}, "wall_s": 0.0,
+                 "finished_at": "2024-01-01T00:00:00Z"}
+            ) + "\n"
+        )
+    with pytest.raises(RuntimeError, match="refusing to resume"):
+        _run(base_args + ["--output", out, "--ckpt", ckpt, "--resume"])
+
+
+def test_fresh_run_refuses_existing_manifest(tmp_path, base_args):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt.jsonl")
+    with open(ckpt, "w") as f:
+        f.write(json.dumps({"snapshot_id": "x", "part_key": 0, "rows_in": 1,
+                            "points_out": {}, "wall_s": 0.0,
+                            "finished_at": "z"}) + "\n")
+    with pytest.raises(SystemExit):
+        _run(base_args + ["--output", out, "--ckpt", ckpt])
