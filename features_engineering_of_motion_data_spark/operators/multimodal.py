@@ -1,0 +1,181 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` + typed
+metadata, processed through Arrow-batched ``mapInPandas`` (the
+training-data-pipeline surface).
+
+The container ships no image/audio libraries, so the *codec* step is stubbed:
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless the
+optional dependency imports, and a deterministic fake decode path
+(``FAKE`` container format, fully specified below) keeps the Spark-side
+plumbing — schema, partition behaviour, UDF signatures, batch shapes — real
+and tested.
+
+FAKE container layout (little-endian):
+    bytes 0-3   magic  b"FAKE"
+    byte  4     media type: 0=image, 1=audio, 2=video
+    bytes 5-8   width  (int32; sample-rate for audio)
+    bytes 9-12  height (int32; channels for audio)
+    bytes 13-16 n_frames (int32; 1 for still images)
+    bytes 17-   payload (width*height uint8 samples per frame, truncated ok)
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"FAKE"
+MEDIA_TYPES = {0: "image", 1: "audio", 2: "video"}
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+    ]
+)
+
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("std_intensity", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def make_fake_payload(
+    doc_id: int, text: str, media_type: int = 0, n_frames: int = 1
+) -> bytes:
+    """Deterministic fake media object derived from (doc_id, text)."""
+    import hashlib
+
+    w = 8 + (doc_id % 9)
+    h = 8 + (len(text) % 9)
+    seed = hashlib.md5(f"{doc_id}:{text[:32]}".encode()).digest()
+    need = w * h * n_frames
+    body = (seed * (need // len(seed) + 1))[:need]
+    return MAGIC + struct.pack("<biii", media_type, w, h, n_frames) + body
+
+
+def attach_fake_payloads(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary); media type cycles by doc_id."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_fake_payload(
+                    int(r.doc_id), r.text, int(r.doc_id) % 3, 1 + int(r.doc_id) % 4
+                )
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select("doc_id", "text").mapInPandas(gen, schema)
+
+
+def _parse_header(payload: bytes):
+    if payload is None or len(payload) < 17 or payload[:4] != MAGIC:
+        return None
+    mt, w, h, nf = struct.unpack("<biii", payload[4:17])
+    return mt, w, h, nf
+
+
+def extract_metadata(media: DataFrame) -> DataFrame:
+    """Typed metadata from the binary container header (no full decode)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                hdr = _parse_header(r.payload)
+                if hdr is None:
+                    rows.append((int(r.doc_id), None, None, None, None,
+                                 len(r.payload or b""), False))
+                else:
+                    mt, w, h, nf = hdr
+                    rows.append(
+                        (int(r.doc_id), MEDIA_TYPES.get(mt, "unknown"), w, h, nf,
+                         len(r.payload), True)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in META_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(gen, META_SCHEMA)
+
+
+def decode_image(media: DataFrame, backend: str = "fake") -> DataFrame:
+    """Decode + per-object intensity stats.
+
+    ``backend='pil'`` requires Pillow (absent in this container →
+    NotImplementedError, by design); ``backend='fake'`` interprets the FAKE
+    payload as raw uint8 samples — numpy-vectorized per object.
+    """
+    if backend == "pil":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "real image decode needs Pillow, which is not installed; "
+                "use backend='fake' for the plumbing path"
+            ) from e
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                hdr = _parse_header(r.payload)
+                if hdr is None:
+                    continue
+                mt, w, h, nf = hdr
+                body = np.frombuffer(r.payload, dtype=np.uint8, offset=17)
+                if len(body) == 0:
+                    continue
+                x = body.astype(np.float64)
+                rows.append(
+                    (
+                        int(r.doc_id),
+                        MEDIA_TYPES.get(mt, "unknown"),
+                        float(np.mean(x)),
+                        float(np.std(x)),
+                        int(len(x)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in STATS_SCHEMA.fields])
+
+    return media.mapInPandas(gen, STATS_SCHEMA)
+
+
+def sample_frames(meta: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame-sampling plumbing for video objects: one row per kept frame
+    (native sequence+explode; no Python)."""
+    return (
+        meta.filter(F.col("media_type") == "video")
+        .withColumn(
+            "frame_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_frames") - 1, F.lit(int(every_k))
+                )
+            ),
+        )
+        .select("doc_id", "frame_idx", "width", "height")
+    )

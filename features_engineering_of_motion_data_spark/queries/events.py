@@ -413,6 +413,56 @@ FROM events GROUP BY ROLLUP (event_type)
 """
 
 
+# --- q19: sliding-window rolling features (W3 — the reference's overlapping
+# windows, expressed as a row frame) ------------------------------------------
+
+
+def q19_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling stats over the last 4 events per user — the Spark face of the
+    reference library's sliding/overlapping feature windows."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    d = _base(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("conv_id"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+        F.sum("c").over(w).alias("roll_s1_cents"),
+        F.min("c").over(w).alias("roll_min_cents"),
+        F.max("c").over(w).alias("roll_max_cents"),
+    )
+    mean = (
+        F.col("roll_s1_cents").cast("double")
+        / F.col("roll_n").cast("double")
+        / F.lit(100.0)
+    )
+    return d.withColumn("roll_mean", mean)
+
+
+_Q19_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), r AS (
+  SELECT event_id, user_id AS conv_id,
+         COUNT(*) OVER w AS roll_n,
+         CAST(SUM(c) OVER w AS BIGINT) AS roll_s1_cents,
+         MIN(c) OVER w AS roll_min_cents,
+         MAX(c) OVER w AS roll_max_cents
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, conv_id, roll_n, roll_s1_cents, roll_min_cents,
+       roll_max_cents,
+       CAST(roll_s1_cents AS DOUBLE) / CAST(roll_n AS DOUBLE) / 100.0
+         AS roll_mean
+FROM r
+"""
+
+
 QUERIES = {
     "q01_tier_features_1h": q01_tier_features_1h,
     "q02_zero_crossings_1d": q02_zero_crossings_1d,
@@ -424,6 +474,7 @@ QUERIES = {
     "q08_json_props": q08_json_props,
     "q09_topk_hot_users": q09_topk_hot_users,
     "q10_rollup_event_types": q10_rollup_event_types,
+    "q19_rolling_features": q19_rolling_features,
 }
 
 ORACLE_SQL = {
@@ -437,4 +488,5 @@ ORACLE_SQL = {
     "q08_json_props": _Q08_SQL,
     "q09_topk_hot_users": _Q09_SQL,
     "q10_rollup_event_types": _Q10_SQL,
+    "q19_rolling_features": _Q19_SQL,
 }

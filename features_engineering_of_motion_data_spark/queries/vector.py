@@ -183,15 +183,188 @@ def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
 
 
+# --- q29: SimHash document fingerprints (rows-only) --------------------------
+
+
+def q29_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit token SimHash per document: bit j of the signature is the sign
+    of Σ_tokens count·(±1) where ± is bit j of xxhash64(token). Near-dup docs
+    land at small Hamming distance (tests/test_text_dedup.py asserts the
+    correlation against the exact-Jaccard pairs). Rows-only driver check —
+    xxhash64 has no portable DuckDB equivalent."""
+    toks = (
+        _with_tokens(_docs(spark, sf_dir))
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit = F.expr("shiftrightunsigned(h, j) & 1")
+    contrib = (bit * 2 - 1) * F.col("cnt")
+    sums = (
+        toks.select(
+            "doc_id", "cnt", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j")
+        )
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    sig_bit = (F.col("s") > 0).cast("long") * F.expr("shiftleft(1L, j)")
+    return (
+        sums.withColumn("b", sig_bit)
+        .groupBy("doc_id")
+        .agg(F.sum("b").alias("simhash64"))
+    )
+
+
+# --- q30: embedding-cosine near-duplicate pairs ------------------------------
+
+COS_THRESHOLD = 0.4
+
+
+def q30_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine ≥ 0.4 over quantized embeddings (the embedding face
+    of near-dup detection; brute force at fixture scale, LSH via q31 at
+    scale). Exact-integer dots → pinned cosine → bitwise SQL parity."""
+    e = _quantized(_emb(spark, sf_dir)).select(
+        "vec_id", "q", _dot(F.col("q"), F.col("q")).alias("nq")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b", _dot(F.col("qa"), F.col("qb")).alias("dot_q"), "na", "nb"
+    )
+    cos = F.col("dot_q").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(COS_THRESHOLD))
+        .select("vec_a", "vec_b", "dot_q", "cosine")
+    )
+
+
+_QUANT_SQL = f"CAST(floor(CAST(embedding[i] AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)"
+_Q30_SQL = f"""
+WITH quant AS (
+  SELECT vec_id,
+         CAST(SUM({_QUANT_SQL} * {_QUANT_SQL}) AS BIGINT) AS nq
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+  GROUP BY 1
+), dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(SUM(CAST(floor(CAST(a.embedding[i] AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)
+                  * CAST(floor(CAST(b.embedding[i] AS DOUBLE) * {QUANT} + 0.5) AS BIGINT))
+              AS BIGINT) AS dot_q
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id,
+       UNNEST(range(1, len(a.embedding) + 1)) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, dot_q,
+       CAST(dot_q AS DOUBLE)
+         / (sqrt(CAST(qa.nq AS DOUBLE)) * sqrt(CAST(qb.nq AS DOUBLE))) AS cosine
+FROM dots
+JOIN quant qa ON qa.vec_id = vec_a
+JOIN quant qb ON qb.vec_id = vec_b
+WHERE CAST(dot_q AS DOUBLE)
+      / (sqrt(CAST(qa.nq AS DOUBLE)) * sqrt(CAST(qb.nq AS DOUBLE)))
+      >= {COS_THRESHOLD}
+"""
+
+
+# --- q31: LSH-bucketed ANN (the scale path for q26) --------------------------
+
+# deterministic ±1 hyperplanes, embedded as literals in BOTH engines
+def _planes() -> list[list[int]]:
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(1234))
+    return (rng.integers(0, 2, size=(4, 64)) * 2 - 1).tolist()
+
+
+_PLANES = _planes()
+
+
+def q31_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 4-bit bucket per vector; candidates = bucket of
+    query vec 0; rank candidates by exact integer dot. The bucket join
+    replaces the all-pairs scan at scale (O(n/2⁴) candidates per query)."""
+    e = _quantized(_emb(spark, sf_dir))
+    bucket = None
+    for p, plane in enumerate(_PLANES):
+        arr = F.array(*[F.lit(int(v)) for v in plane])
+        d = _dot(F.col("q"), arr)
+        bit = (d >= 0).cast("long") * F.lit(1 << p)
+        bucket = bit if bucket is None else bucket + bit
+    e = e.withColumn("bucket", bucket)
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    cand = e.filter(F.col("vec_id") != 0).join(
+        F.broadcast(qv), F.col("bucket") == F.col("qbucket")
+    )
+    return (
+        cand.select(
+            "vec_id", "label", "bucket", _dot(F.col("q"), F.col("qv")).alias("dot_q")
+        )
+        .orderBy(F.desc("dot_q"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
+def _planes_sql() -> str:
+    rows = ",\n    ".join(
+        f"({p}, {list(plane)})" for p, plane in enumerate(_PLANES)
+    )
+    return f"(VALUES\n    {rows}) AS planes(p, vec)"
+
+
+_Q31_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), buckets AS (
+  SELECT q.vec_id, q.label, q.qv,
+         CAST(SUM(CASE WHEN (
+             SELECT SUM(q.qv[i] * planes.vec[i])
+             FROM UNNEST(range(1, 65)) AS t(i)
+           ) >= 0 THEN 1 << planes.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM q, {_planes_sql()}
+  GROUP BY 1, 2, 3
+), qb AS (
+  SELECT qv AS query_v, bucket AS qbucket FROM buckets WHERE vec_id = 0
+)
+SELECT b.vec_id, b.label, b.bucket,
+       CAST((SELECT SUM(b.qv[i] * qb.query_v[i])
+             FROM UNNEST(range(1, 65)) AS t(i)) AS BIGINT) AS dot_q
+FROM buckets b, qb
+WHERE b.vec_id != 0 AND b.bucket = qb.qbucket
+ORDER BY dot_q DESC, vec_id ASC LIMIT {TOPK}
+"""
+
+
 QUERIES = {
     "q26_ann_cosine_topk": q26_ann_cosine_topk,
     "q27_label_centroids": q27_label_centroids,
     "q28_minhash_lsh_pairs": q28_minhash_lsh_pairs,
+    "q29_simhash_docs": q29_simhash_docs,
+    "q30_embedding_near_dup": q30_embedding_near_dup,
+    "q31_ann_lsh_topk": q31_ann_lsh_topk,
 }
 
 ORACLE_SQL = {
     "q26_ann_cosine_topk": _Q26_SQL,
     "q27_label_centroids": _Q27_SQL,
-    # q28 deliberately absent: MinHash signatures are not SQL-expressible →
-    # rows-only driver check; exactness covered in pytest vs q25.
+    # q28/q29 deliberately absent: MinHash/SimHash signatures hinge on
+    # xxhash64, which DuckDB lacks → rows-only driver check; exactness
+    # covered in pytest vs the brute-force oracles.
+    "q30_embedding_near_dup": _Q30_SQL,
+    "q31_ann_lsh_topk": _Q31_SQL,
 }

@@ -1,0 +1,146 @@
+"""Structured-Streaming surface (SURVEY §2.10 — stretch beyond the batch
+north_rule, marked optional there).
+
+Three operators:
+
+* :func:`stream_tier_1m` — watermarked tumbling-window continuous aggregate
+  of the row-local channels (text_len, tool_cadence) per (conv, 1m bucket).
+  Same exact-integer sufficient statistics as the batch path, so a finished
+  streaming bucket equals the batch bucket bit-for-bit (tested with the
+  file source + availableNow trigger).
+* :func:`stream_latency_stateful` — the latency channel needs the previous
+  turn's ts, which streaming window functions can't provide; this is the
+  ``applyInPandasWithState`` custom stateful operator: per-conv state holds
+  (last_turn_idx, last_ts); each micro-batch emits latency rows.
+* :func:`stream_sessions` — conversation "episodes" via native
+  ``session_window`` (gap-based), the streaming analogue of sessionization.
+
+Late turns inside the watermark update their 1m bucket; buckets finalize once
+the watermark passes, after which the cascade (1m→1h→1d) is the existing
+batch merge over the streamed tier table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+LAT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("lat_us", T.LongType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_turn", T.IntegerType()),
+        T.StructField("last_ts", T.LongType()),
+    ]
+)
+
+
+def stream_tier_1m(turns: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming 1m-tier sufficient stats for the row-local channels."""
+    base = turns.withWatermark("ts", watermark).select(
+        "conv_id",
+        "ts",
+        F.length("text").cast("long").alias("text_len"),
+        F.col("tool").isNotNull().cast("long").alias("tool_cadence"),
+    )
+    melted = base.selectExpr(
+        "conv_id",
+        "ts",
+        "stack(2, 'text_len', text_len, 'tool_cadence', tool_cadence)"
+        " as (channel, x)",
+    ).filter(F.col("x").isNotNull())
+    x_dec = F.col("x").cast("decimal(19,0)")
+    return (
+        melted.groupBy("conv_id", "channel", F.window("ts", "1 minute"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum(x_dec * x_dec).cast("decimal(38,0)").alias("s2"),
+            F.min("x").alias("min_raw"),
+            F.max("x").alias("max_raw"),
+        )
+        .select(
+            "conv_id",
+            "channel",
+            F.unix_micros(F.col("window.start")).alias("bucket_us"),
+            "n",
+            "s1",
+            "s2",
+            "min_raw",
+            "max_raw",
+        )
+    )
+
+
+def _latency_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    if state.exists:
+        last_turn, last_ts = state.get
+    else:
+        last_turn, last_ts = None, None
+    rows: list[dict[str, Any]] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("turn_idx", kind="mergesort")
+        for r in pdf.itertuples(index=False):
+            ts_us = int(r.ts.value // 1000) if hasattr(r.ts, "value") else int(r.ts)
+            lat = None if last_ts is None else ts_us - last_ts
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": int(r.turn_idx),
+                    "ts_us": ts_us,
+                    "lat_us": lat,
+                }
+            )
+            last_turn, last_ts = int(r.turn_idx), ts_us
+    state.update((last_turn, last_ts))
+    yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts_us", "lat_us"])
+
+
+def stream_latency_stateful(turns: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator: per-conv inter-turn latency across
+    micro-batches (state carries the previous turn)."""
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _latency_fn,
+            outputStructType=LAT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_sessions(
+    turns: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Conversation episodes: gap-based session windows per conv."""
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_turns",
+        )
+    )

@@ -70,6 +70,11 @@ def run(args) -> int:
         )
     done = completed_parts(manifest, snapshot)
 
+    from pyspark.sql import SparkSession
+
+    # only stop the session on exit if this job created it (in-process test
+    # harnesses share one session via getOrCreate)
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(master=args.master, app_name="transcript-rollup")
     turns = read_transcripts(spark, args.input, snapshot_id=snapshot)
     part_of = F.pmod(F.xxhash64("conv_id"), F.lit(args.num_parts))
@@ -93,9 +98,11 @@ def run(args) -> int:
         ran += 1
         if args.fail_after is not None and ran >= args.fail_after:
             print(f"TEST HOOK: aborting after {ran} ranges", file=sys.stderr)
-            spark.stop()
+            if owns_session:
+                spark.stop()
             return 42
-    spark.stop()
+    if owns_session:
+        spark.stop()
     print(
         f"rollup complete: snapshot={snapshot} parts={args.num_parts} "
         f"(ran {ran}, resumed past {len(done)}) tiers={','.join(tiers)}"

@@ -1,0 +1,114 @@
+"""Streaming surface tests: file source + availableNow trigger + memory sink;
+finished streaming buckets must equal the batch tier bit-for-bit."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from features_engineering_of_motion_data_spark.operators.channels import (
+    dedup_turns,
+    derive_channels,
+)
+from features_engineering_of_motion_data_spark.operators.features import (
+    aggregate_tier,
+)
+from features_engineering_of_motion_data_spark.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    read_transcripts,
+)
+from features_engineering_of_motion_data_spark.streaming import (
+    stream_latency_stateful,
+    stream_sessions,
+    stream_tier_1m,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, tiny_path, tmp_path_factory):
+    """Tiny fixture re-written as a multi-file directory (micro-batch food).
+    edge_hot excluded to keep the stateful python loop fast."""
+    d = str(tmp_path_factory.mktemp("stream_in"))
+    # edge_hot excluded (stateful python loop cost); edge_dup_turn excluded
+    # because the streaming path has no dedup stage
+    df = read_transcripts(spark, tiny_path).filter(
+        ~F.col("conv_id").isin("edge_hot", "edge_dup_turn")
+    )
+    df.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_stream(spark, df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{name}")
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def test_stream_tier_matches_batch(spark, stream_input):
+    import shutil
+
+    shutil.rmtree("/tmp/ckpt_t1m", ignore_errors=True)
+    turns = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_input)
+    got = (
+        _run_stream(spark, stream_tier_1m(turns, watermark="0 seconds"), "t1m",
+                    mode="complete")
+        .toPandas()
+        .sort_values(["conv_id", "channel", "bucket_us"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    batch = aggregate_tier(
+        derive_channels(dedup_turns(spark.read.parquet(stream_input))), "1m"
+    )
+    want = (
+        batch.filter(F.col("channel") != "inter_turn_latency")
+        .select("conv_id", "channel", "bucket_us", "n", "s1", "s2", "min_raw", "max_raw")
+        .toPandas()
+        .sort_values(["conv_id", "channel", "bucket_us"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ("conv_id", "channel", "bucket_us", "n", "s1", "min_raw", "max_raw"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert [int(v) for v in got["s2"]] == [int(v) for v in want["s2"]]
+
+
+def test_stream_latency_stateful(spark, stream_input):
+    import shutil
+
+    shutil.rmtree("/tmp/ckpt_lat", ignore_errors=True)
+    turns = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_input)
+    got = _run_stream(
+        spark, stream_latency_stateful(turns, watermark="0 seconds"), "lat"
+    ).toPandas()
+    # within one availableNow run the per-conv state sees all turns →
+    # latencies must match the batch lag exactly for in-order convs
+    sub = got[got.conv_id == "edge_constant"].sort_values("turn_idx")
+    lats = sub["lat_us"].dropna().unique().tolist()
+    assert lats == [10_000_000]  # uniform 10s cadence
+    assert pd.isna(sub.iloc[0]["lat_us"])
+
+
+def test_stream_sessions(spark, stream_input):
+    import shutil
+
+    shutil.rmtree("/tmp/ckpt_sess", ignore_errors=True)
+    turns = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_input)
+    got = _run_stream(
+        spark, stream_sessions(turns, gap="30 minutes", watermark="0 seconds"),
+        "sess", mode="complete"
+    ).toPandas()
+    # edge_constant: uniform 10s gaps → exactly one session of 50 turns
+    const = got[got.conv_id == "edge_constant"]
+    assert len(const) == 1 and const.iloc[0]["n_turns"] == 50
+    # edge_bursty: 20 bursts separated by 1h silences → 20 sessions of 10
+    bursty = got[got.conv_id == "edge_bursty"]
+    assert len(bursty) == 20
+    assert (bursty["n_turns"] == 10).all()

@@ -33,3 +33,35 @@ def test_lsh_pairs_subset_and_recall(spark, sf_dir):
     merged = brute.merge(lsh, on=["doc_a", "doc_b"], suffixes=("_b", "_l"))
     assert (merged["n_inter_b"] == merged["n_inter_l"]).all()
     assert (merged["jaccard_b"] == merged["jaccard_l"]).all()
+
+
+def test_simhash_separates_near_dups(spark, sf_dir):
+    """SimHash signatures: near-dup pairs (3-gram Jaccard ≥ 0.5) must sit at
+    much smaller Hamming distance than the background pair population."""
+    import numpy as np
+
+    from features_engineering_of_motion_data_spark.queries.vector import (
+        q29_simhash_docs,
+    )
+
+    sig = q29_simhash_docs(spark, sf_dir).toPandas().set_index("doc_id")["simhash64"]
+    brute = q25_ngram_jaccard_pairs(spark, sf_dir).toPandas()
+
+    def hamming(a, b):
+        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+    near = np.array(
+        [hamming(sig[r.doc_a], sig[r.doc_b]) for r in brute.itertuples()]
+    )
+    rng = np.random.default_rng(0)
+    ids = sig.index.to_numpy()
+    ra, rb = rng.choice(ids, 500), rng.choice(ids, 500)
+    rand = np.array(
+        [hamming(sig[a], sig[b]) for a, b in zip(ra, rb) if a != b]
+    )
+    # the fixture's docs share one small vocabulary, so background signatures
+    # correlate; separation is relative, not absolute
+    assert near.max() <= 12, f"near-dup hamming too large: {near.max()}"
+    assert np.median(rand) > near.max(), (
+        f"no separation: background median {np.median(rand)} vs near max {near.max()}"
+    )
