@@ -231,6 +231,38 @@ FROM events GROUP BY 1
 """
 
 
+# --- q32: intersect (U2's other half) ----------------------------------------
+
+
+def q32_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+_Q32_SQL = """
+SELECT user_id FROM events WHERE event_type = 'error'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+# --- q33: approximate distinct (A9's HLL half; rows-only — Spark's HLL and
+# DuckDB's approx sketches legitimately disagree) ------------------------------
+
+
+def q33_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+
+
 QUERIES = {
     "q11_pricing_summary": q11_pricing_summary,
     "q12_revenue_by_nation": q12_revenue_by_nation,
@@ -240,6 +272,8 @@ QUERIES = {
     "q16_union_distinct_users": q16_union_distinct_users,
     "q17_error_only_users": q17_error_only_users,
     "q18_distinct_users": q18_distinct_users,
+    "q32_intersect_users": q32_intersect_users,
+    "q33_approx_distinct": q33_approx_distinct,
 }
 
 ORACLE_SQL = {
@@ -251,4 +285,6 @@ ORACLE_SQL = {
     "q16_union_distinct_users": _Q16_SQL,
     "q17_error_only_users": _Q17_SQL,
     "q18_distinct_users": _Q18_SQL,
+    "q32_intersect_users": _Q32_SQL,
+    # q33 rows-only: HLL sketches are engine-specific by design
 }

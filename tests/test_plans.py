@@ -1,0 +1,84 @@
+"""Physical-plan assertions (SURVEY §4): the optimizations the engine's
+scale story depends on must be visible in the executed plan, not assumed —
+predicate pushdown to the parquet scan, the single-exchange cascade, and
+broadcast joins for small dims."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from features_engineering_of_motion_data_spark.operators.channels import (
+    dedup_turns,
+    derive_channels,
+)
+from features_engineering_of_motion_data_spark.operators.features import (
+    aggregate_tier,
+)
+from features_engineering_of_motion_data_spark.operators.rollup import rollup_merge
+from features_engineering_of_motion_data_spark.queries.relational import (
+    q12_revenue_by_nation,
+)
+from features_engineering_of_motion_data_spark.sources.transcripts import (
+    read_transcripts,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ts_predicate_pushed_to_scan(spark, tiny_path):
+    lo = datetime.datetime(2024, 1, 2)
+    hi = datetime.datetime(2024, 1, 3)
+    df = read_transcripts(spark, tiny_path, ts_range=(lo, hi))
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    # the ts bounds must reach the parquet scan, not sit in a post-filter only
+    assert "GreaterThanOrEqual(ts" in plan and "LessThanOrEqual(ts" in plan
+
+
+def test_column_pruning_reaches_scan(spark, tiny_path):
+    ch = derive_channels(dedup_turns(read_transcripts(spark, tiny_path)))
+    plan = _plan(ch)
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # 'role' is never used by the channel pipeline → must be pruned
+    assert "role" not in scan_line
+    assert "conv_id" in scan_line
+
+
+def test_cascade_is_single_exchange(spark, tiny_path):
+    """The load-bearing scale property: dedup → channels → 1m agg plans ONE
+    exchange (hash(conv_id)), and each rollup merge adds NONE."""
+    ch = derive_channels(dedup_turns(read_transcripts(spark, tiny_path)))
+    base = aggregate_tier(ch, "1m")
+    assert _plan(base).count("Exchange") == 1
+    assert _plan(rollup_merge(base, "1h")).count("Exchange") == 1
+    assert _plan(rollup_merge(rollup_merge(base, "1h"), "1d")).count("Exchange") == 1
+
+
+def test_partial_aggregation_present(spark, tiny_path):
+    """Map-side combine: partial + final HashAggregate pairs."""
+    ch = derive_channels(dedup_turns(read_transcripts(spark, tiny_path)))
+    plan = _plan(aggregate_tier(ch, "1m"))
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    plan = _plan(q12_revenue_by_nation(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_cascade_hot_path_has_no_python(spark, tiny_path):
+    """The zero-per-row-Python contract, visible in the plan: the whole
+    cascade must contain no Python-evaluation operators (those are confined
+    to the archive/gap-fill kernels). (AQE hides WholeStageCodegen wrappers
+    from plan strings in Spark 4, so JVM-only execution is the assertable
+    proxy for staying on the codegen path.)"""
+    ch = derive_channels(dedup_turns(read_transcripts(spark, tiny_path)))
+    plan = _plan(rollup_merge(rollup_merge(aggregate_tier(ch, "1m"), "1h"), "1d"))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                 "MapInPandas"):
+        assert node not in plan, f"unexpected Python operator {node} in hot path"
