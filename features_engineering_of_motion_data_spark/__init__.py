@@ -42,3 +42,4 @@ from .sources.sinks import expire, write_tier  # noqa: E402,F401
 from .sources.transcripts import read_transcripts, resolve_snapshot  # noqa: E402,F401
 from .operators.archive import build_archive, decode_archive  # noqa: E402,F401
 from .operators.gapfill import gapfill_features, gapfill_series  # noqa: E402,F401
+from .operators.sliding import sliding_features  # noqa: E402,F401
