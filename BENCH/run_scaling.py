@@ -53,9 +53,13 @@ spark.stop()
 """
 
 
-def measure(cores: int, input_path: str) -> tuple[float, int]:
+def measure(cores: int, input_path: str, pin: bool = False) -> tuple[float, int]:
+    """pin=True runs the child under taskset on `cores` CPUs so the WHOLE JVM
+    (GC, shuffle, I/O threads — not just task slots) is bounded to N cores:
+    the honest simulation of an N-core executor node."""
+    prefix = ["taskset", "-c", f"0-{cores - 1}"] if pin else []
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cores), input_path, REPO],
+        prefix + [sys.executable, "-c", CHILD, str(cores), input_path, REPO],
         capture_output=True,
         text=True,
         cwd=REPO,
@@ -71,6 +75,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", default="2,8,32")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset-pin each child JVM to its core budget")
     ap.add_argument(
         "--input",
         default=os.path.join(REPO, "tests/data/transcripts_bench.parquet"),
@@ -90,7 +96,9 @@ def main() -> None:
     points = None
     # merge with prior samples: the host throttles unpredictably, so min over
     # MANY samples is the only consistent estimator of unthrottled time
-    out_path = os.path.join(REPO, "BENCH", "scaling.json")
+    out_path = os.path.join(
+        REPO, "BENCH", "scaling_pinned.json" if args.pin else "scaling.json"
+    )
     if os.path.exists(out_path):
         prior = json.load(open(out_path))
         if prior.get("input") == os.path.basename(args.input):
@@ -99,7 +107,7 @@ def main() -> None:
             points = prior.get("feature_points")
     for rep in range(args.reps):
         for c in cores:  # interleave configs within each round
-            dt, pts = measure(c, args.input)
+            dt, pts = measure(c, args.input, pin=args.pin)
             runs[c].append(dt)
             points = pts
             print(f"round {rep} local[{c}]: {dt:.1f}s ({pts} points)", flush=True)
@@ -121,7 +129,6 @@ def main() -> None:
         "efficiency_Nx4": {k: round(v, 3) for k, v in effs.items()},
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    out_path = os.path.join(REPO, "BENCH", "scaling.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result["efficiency_Nx4"]))
