@@ -3,7 +3,7 @@
 Tier T+1 is computed by *merging* tier T's sufficient statistics, never by
 re-reading raw data, and — because every statistic is an exact integer and
 every merge an integer add/min/max — the result is bit-identical to computing
-T+1 directly from the turns (property-tested in tests/test_cascade.py).
+T+1 directly from the turns (property-tested in tests/test_tiers_vs_oracle.py).
 
 The only order-sensitive term is the zero-crossing boundary: when fine buckets
 A, B (consecutive in ``bucket_us`` order within one coarse bucket) merge, the
@@ -66,17 +66,33 @@ def rollup_merge(stats: DataFrame, to_tier: str) -> DataFrame:
     )
 
 
-def cascade(channels: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d")) -> dict[str, DataFrame]:
-    """R3: base-aggregate the finest tier, then merge upward tier by tier.
+def cascade_from_stats(
+    base_stats: DataFrame, tiers: tuple[str, ...]
+) -> dict[str, DataFrame]:
+    """R3 from a pre-built finest-tier sufficient-statistics frame.
 
-    Returns {tier: finalized feature DataFrame}. The plans share the base
-    stats lineage, so with ``.cache()`` on the base frame (callers' choice —
-    jobs/rollup.py does it) each higher tier is a cheap integer merge.
+    ``base_stats`` must be an ``aggregate_tier(channels, finest)`` frame (or a
+    bit-exact materialization of one, e.g. jobs/rollup.py's staged parquet)
+    where ``finest = min(tiers)``. Coarser tiers are pure integer merges of
+    it — the raw turns are never touched again.
     """
     if not tiers:
         return {}
     order = sorted(tiers, key=lambda t: TIER_US[t])
-    stats = {order[0]: aggregate_tier(channels, order[0])}
+    stats = {order[0]: base_stats}
     for fine, coarse in zip(order, order[1:]):
         stats[coarse] = rollup_merge(stats[fine], coarse)
     return {t: finalize_features(s) for t, s in stats.items()}
+
+
+def cascade(channels: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d")) -> dict[str, DataFrame]:
+    """R3: base-aggregate the finest tier, then merge upward tier by tier.
+
+    Returns {tier: finalized feature DataFrame}. The plans share the base
+    stats lineage, so with ``.cache()`` on the base frame (callers' choice)
+    each higher tier is a cheap integer merge.
+    """
+    if not tiers:
+        return {}
+    order = sorted(tiers, key=lambda t: TIER_US[t])
+    return cascade_from_stats(aggregate_tier(channels, order[0]), tiers)

@@ -6,6 +6,7 @@ broadcast joins for small dims."""
 from __future__ import annotations
 
 import datetime
+import os
 
 import pytest
 
@@ -69,6 +70,46 @@ def test_small_dims_broadcast(spark, sf_dir):
     plan = _plan(q12_revenue_by_nation(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_rollup_job_scans_input_once(spark, tiny_path, tmp_path, monkeypatch):
+    """The batch job's scale contract: a P-range run reads the raw input
+    EXACTLY once (the stage build), never once-per-range; a resumed run whose
+    stage survives reads it zero times; and each range's stage read is
+    partition-pruned to its own bucket."""
+    import jobs.rollup as rollup_job
+
+    calls = []
+    real = rollup_job.read_transcripts
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(rollup_job, "read_transcripts", counting)
+    out = str(tmp_path / "tiers")
+    args = ["--input", tiny_path, "--output", out, "--tiers", "1m,1h",
+            "--num-parts", "4", "--master", "local[4]"]
+
+    # crash after 2 of 4 ranges: one input scan, stage left behind
+    assert rollup_job.run(rollup_job.parse_args(args + ["--fail-after", "2"])) == 42
+    assert len(calls) == 1
+
+    # the per-range pipeline reads the staged stats partition-pruned
+    import glob
+
+    stage = glob.glob(os.path.join(out, "_stage", "snap=*", "stats"))[0]
+    staged = spark.read.parquet(stage).filter("part = 3")
+    scan_line = next(
+        l for l in _plan(staged).splitlines() if "FileScan parquet" in l
+    )
+    assert "PartitionFilters" in scan_line and "part" in scan_line.split(
+        "PartitionFilters"
+    )[1]
+
+    # resume: stage is reused — ZERO further scans of the raw input
+    assert rollup_job.run(rollup_job.parse_args(args + ["--resume"])) == 0
+    assert len(calls) == 1
 
 
 def test_cascade_hot_path_has_no_python(spark, tiny_path):
