@@ -11,8 +11,15 @@ Prints ONE JSON line:
    "queries": {...per-stage sec...}, "sf": ..., "points_per_sec": {...},
    "feature_points": {...}, "cpus": N}
 
-Scaling-efficiency evidence (local[8] vs local[32]) is produced by
-BENCH/run_scaling.sh, which calls this file twice.
+Stage timings are min-of-N with the stages interleaved across rounds
+(SPARK_GRAFT_BENCH_REPS, default 3): this host shows 10×+ minute-scale
+throttling windows, so a single sample can land entirely inside one (the
+round-1 rollup_1h 40.7 s anomaly); interleaving makes drift hit all stages
+equally and the min approximates the unthrottled time.
+
+Scaling-efficiency evidence (N vs 4N cores) is produced separately by
+BENCH/run_scaling.py, which runs the cascade in fresh taskset-pinned child
+JVMs per core count (it does not call this file).
 """
 
 from __future__ import annotations
@@ -70,29 +77,39 @@ def main() -> None:
     # parquet footer caching don't pollute the steady-state measurement
     _force(aggregate_tier(derive_channels(dedup_turns(turns.limit(100_000))), "1m"))
 
-    t0 = time.perf_counter()
-    stats_1m = aggregate_tier(channels, "1m").persist(StorageLevel.MEMORY_AND_DISK)
-    points["rollup_1m"] = _force(finalize_features(stats_1m))
-    timings["rollup_1m"] = time.perf_counter() - t0
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        stats_1m = aggregate_tier(channels, "1m").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        points["rollup_1m"] = _force(finalize_features(stats_1m))
+        timings["rollup_1m"] = min(
+            timings.get("rollup_1m", float("inf")), time.perf_counter() - t0
+        )
 
-    t0 = time.perf_counter()
-    stats_1h = rollup_merge(stats_1m, "1h").persist(StorageLevel.MEMORY_AND_DISK)
-    points["rollup_1h"] = _force(finalize_features(stats_1h))
-    timings["rollup_1h"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        stats_1h = rollup_merge(stats_1m, "1h").persist(StorageLevel.MEMORY_AND_DISK)
+        points["rollup_1h"] = _force(finalize_features(stats_1h))
+        timings["rollup_1h"] = min(
+            timings.get("rollup_1h", float("inf")), time.perf_counter() - t0
+        )
 
-    t0 = time.perf_counter()
-    stats_1d = rollup_merge(stats_1h, "1d")
-    points["rollup_1d"] = _force(finalize_features(stats_1d))
-    timings["rollup_1d"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        stats_1d = rollup_merge(stats_1h, "1d")
+        points["rollup_1d"] = _force(finalize_features(stats_1d))
+        timings["rollup_1d"] = min(
+            timings.get("rollup_1d", float("inf")), time.perf_counter() - t0
+        )
 
-    stats_1m.unpersist()
-    stats_1h.unpersist()
+        stats_1m.unpersist()
+        stats_1h.unpersist()
 
     # --- representative fixture queries at SF_DIR ----------------------------
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in (
+    names = (
         "q01_tier_features_1h",
         "q02_zero_crossings_1d",
         "q06_sessionize",
@@ -100,10 +117,15 @@ def main() -> None:
         "q25_ngram_jaccard_pairs",
         "q26_ann_cosine_topk",
         "q28_minhash_lsh_pairs",
-    ):
-        t0 = time.perf_counter()
-        points[name] = _force(qs[name](spark, SF_DIR))
-        timings[name] = time.perf_counter() - t0
+        "q34_embedding_lsh_pairs",
+    )
+    for _ in range(2):  # interleaved min-of-2 (same throttle-noise rationale)
+        for name in names:
+            t0 = time.perf_counter()
+            points[name] = _force(qs[name](spark, SF_DIR))
+            timings[name] = min(
+                timings.get(name, float("inf")), time.perf_counter() - t0
+            )
 
     total = sum(timings.values())
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -80,43 +80,65 @@ def fill_series(ti: np.ndarray, ts: np.ndarray, x: np.ndarray):
 
 def _tier_features(
     conv_id, channel, tier, ti, ts, x, filled
-) -> list[dict]:
+) -> pd.DataFrame:
+    """Per-bucket features, vectorized over bucket RUNS.
+
+    The adjacency terms (zero-crossings) are computed in turn order first;
+    then a stable sort by bucket makes each bucket one contiguous run, so a
+    run slice ``x[s:e]`` contains exactly the elements (in exactly the
+    order) of the oracle's boolean-mask selection — bitwise-equal results
+    for ANY ts ordering, without the O(buckets·n) per-bucket masking.
+
+    Order-free reductions (counts, integer sums, min/max) use
+    ``ufunc.reduceat``; ONLY the two float sums s1/s2 stay as per-slice
+    ``np.sum`` calls because the pinned oracle op is numpy's pairwise
+    summation, whose rounding ``np.add.reduceat`` does not reproduce — the
+    loop is O(#buckets) slice-sums, not O(n·#buckets) masks.
+    """
     step = TIER_US[tier]
     bucket = (ts // step) * step
     sign = np.where(x < 0.0, -1, 1)
     same_bucket = np.concatenate([[False], bucket[1:] == bucket[:-1]])
     flip = np.concatenate([[False], sign[1:] * sign[:-1] < 0])
     cross = (same_bucket & flip).astype(np.int64)
-    rows = []
-    for b in np.unique(bucket):
-        sel = bucket == b
-        xs = x[sel]
-        n = int(sel.sum())
-        s1 = np.sum(xs)
-        s2 = np.sum(xs * xs)
-        m = s1 / n
-        q = s2 / n
-        var = q - m * m
-        if var < 0.0:
-            var = 0.0
-        rows.append(
-            {
-                "conv_id": conv_id,
-                "channel": channel,
-                "tier": tier,
-                "bucket_us": int(b),
-                "n": n,
-                "n_filled": int(filled[sel].sum()),
-                "f_mean": m,
-                "f_std": np.sqrt(var),
-                "f_rms": np.sqrt(q),
-                "f_min": float(np.min(xs)),
-                "f_max": float(np.max(xs)),
-                "f_zero_crossings": int(cross[sel].sum()),
-                "f_energy": s2,
-            }
-        )
-    return rows
+
+    order = np.argsort(bucket, kind="stable")
+    bucket, x, filled, cross = bucket[order], x[order], filled[order], cross[order]
+    ub, starts = np.unique(bucket, return_index=True)
+    ends = np.append(starts[1:], len(bucket))
+    n = ends - starts
+    n_filled = np.add.reduceat(filled.astype(np.int64), starts)
+    zc = np.add.reduceat(cross, starts)
+    f_min = np.minimum.reduceat(x, starts)
+    f_max = np.maximum.reduceat(x, starts)
+    xx = x * x
+    s1 = np.empty(len(starts))
+    s2 = np.empty(len(starts))
+    for i in range(len(starts)):
+        s1[i] = np.sum(x[starts[i] : ends[i]])
+        s2[i] = np.sum(xx[starts[i] : ends[i]])
+    nd = n.astype(np.float64)
+    m = s1 / nd
+    q = s2 / nd
+    var = q - m * m
+    var = np.where(var < 0.0, 0.0, var)
+    return pd.DataFrame(
+        {
+            "conv_id": conv_id,
+            "channel": channel,
+            "tier": tier,
+            "bucket_us": ub,
+            "n": n,
+            "n_filled": n_filled,
+            "f_mean": m,
+            "f_std": np.sqrt(var),
+            "f_rms": np.sqrt(q),
+            "f_min": f_min,
+            "f_max": f_max,
+            "f_zero_crossings": zc,
+            "f_energy": s2,
+        }
+    )
 
 
 def _features_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -128,10 +150,12 @@ def _features_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf["ts_us"].to_numpy(np.int64),
         pdf["x"].to_numpy(np.int64),
     )
-    rows = []
-    for tier in tiers:
-        rows.extend(_tier_features(conv_id, channel, tier, ti, ts, x, filled))
-    return pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+    frames = [
+        _tier_features(conv_id, channel, tier, ti, ts, x, filled)
+        for tier in tiers
+    ]
+    out = pd.concat(frames, ignore_index=True)
+    return out[[f.name for f in FEATURE_SCHEMA.fields]]
 
 
 def _fill_group(pdf: pd.DataFrame) -> pd.DataFrame:

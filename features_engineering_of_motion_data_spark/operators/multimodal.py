@@ -98,28 +98,48 @@ def _parse_header(payload: bytes):
     return mt, w, h, nf
 
 
+def _le_int32(col, pos: int):
+    """Little-endian int32 at 1-based byte offset ``pos`` of a binary column,
+    decoded JVM-side: hex the 4 bytes, swap the pairs, base-16 parse. Values
+    are header dimensions (non-negative < 2³¹), so unsigned parse is exact."""
+    hx = F.hex(F.substring(col, pos, 4))
+    le = F.concat(
+        F.substring(hx, 7, 2),
+        F.substring(hx, 5, 2),
+        F.substring(hx, 3, 2),
+        F.substring(hx, 1, 2),
+    )
+    return F.conv(le, 16, 10).cast("int")
+
+
 def extract_metadata(media: DataFrame) -> DataFrame:
-    """Typed metadata from the binary container header (no full decode)."""
+    """Typed metadata from the binary container header (no full decode).
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                hdr = _parse_header(r.payload)
-                if hdr is None:
-                    rows.append((int(r.doc_id), None, None, None, None,
-                                 len(r.payload or b""), False))
-                else:
-                    mt, w, h, nf = hdr
-                    rows.append(
-                        (int(r.doc_id), MEDIA_TYPES.get(mt, "unknown"), w, h, nf,
-                         len(r.payload), True)
-                    )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in META_SCHEMA.fields]
-            )
-
-    return media.mapInPandas(gen, META_SCHEMA)
+    Fully native: the fixed 17-byte prefix is parsed with substring/hex/conv
+    column expressions, so header extraction over billions of objects stays
+    on the whole-stage-codegen path — no Python operator, no Arrow transfer
+    of the (large) payload bytes to a worker process.
+    """
+    p = F.col("payload")
+    valid = (
+        p.isNotNull() & (F.length(p) >= 17) & (F.substring(p, 1, 4) == F.lit(MAGIC))
+    )
+    mt = F.conv(F.hex(F.substring(p, 5, 1)), 16, 10).cast("int")
+    media_type = (
+        F.when(mt == 0, "image")
+        .when(mt == 1, "audio")
+        .when(mt == 2, "video")
+        .otherwise("unknown")
+    )
+    return media.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(valid, media_type).alias("media_type"),
+        F.when(valid, _le_int32(p, 6)).alias("width"),
+        F.when(valid, _le_int32(p, 10)).alias("height"),
+        F.when(valid, _le_int32(p, 14)).alias("n_frames"),
+        F.coalesce(F.length(p).cast("long"), F.lit(0)).alias("payload_bytes"),
+        valid.alias("valid"),
+    )
 
 
 def decode_image(media: DataFrame, backend: str = "fake") -> DataFrame:

@@ -52,7 +52,11 @@ def q26_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Brute force IS the baseline contract (SURVEY-extension: similarity
     search); the broadcast of the single query vector makes the scan
-    embarrassingly parallel — the scale path is q27's LSH bucketing.
+    embarrassingly parallel — the scale path is q31's LSH bucketing.
+
+    Ranking is by the cosine itself (desc, vec_id tiebreak): the cosine is a
+    pinned int→double expression over exact integer dot/norms, so both
+    engines order identical doubles — deterministic and engine-identical.
     """
     e = _quantized(_emb(spark, sf_dir))
     qvec = e.filter(F.col("vec_id") == 0).select(F.col("q").alias("qv"))
@@ -69,7 +73,7 @@ def q26_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.withColumn("cosine", cos)
-        .orderBy(F.desc("dot_q"), F.asc("vec_id"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOPK)
         .select("vec_id", "label", "dot_q", "cosine")
     )
@@ -93,7 +97,7 @@ SELECT vec_id, label, dot_q,
        CAST(dot_q AS DOUBLE)
          / (sqrt(CAST(na_q AS DOUBLE)) * sqrt(CAST(nb_q AS DOUBLE))) AS cosine
 FROM prod
-ORDER BY dot_q DESC, vec_id ASC LIMIT {TOPK}
+ORDER BY cosine DESC, vec_id ASC LIMIT {TOPK}
 """
 
 
@@ -121,8 +125,8 @@ GROUP BY 1, 2
 
 
 def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path near-dup detection: shingle → 32-perm MinHash → 8 LSH bands
-    → band-bucket join → exact Jaccard verify on candidates only.
+    """Scale-path near-dup detection: shingle → 32-perm MinHash → 16 LSH
+    bands of 2 rows → band-bucket join → exact Jaccard verify on candidates.
 
     Not ANSI-SQL-expressible (per-permutation min-hash signatures) → driver
     records a rows-only check; tests/test_text_dedup.py asserts the verified
@@ -223,9 +227,11 @@ COS_THRESHOLD = 0.4
 
 
 def q30_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine ≥ 0.4 over quantized embeddings (the embedding face
-    of near-dup detection; brute force at fixture scale, LSH via q31 at
-    scale). Exact-integer dots → pinned cosine → bitwise SQL parity."""
+    """All-pairs cosine ≥ 0.4 over quantized embeddings — the BRUTE-FORCE
+    oracle for embedding near-dup (O(n²) self-join; fine at fixture scale).
+    The 100 TB scale path is q34_embedding_lsh_pairs: multi-band hyperplane
+    LSH buckets → bucket self-join → exact verify restricted to candidates.
+    Exact-integer dots → pinned cosine → bitwise SQL parity."""
     e = _quantized(_emb(spark, sf_dir)).select(
         "vec_id", "q", _dot(F.col("q"), F.col("q")).alias("nq")
     )
@@ -350,6 +356,142 @@ ORDER BY dot_q DESC, vec_id ASC LIMIT {TOPK}
 """
 
 
+# --- q34: LSH-bucketed embedding near-dup PAIRS (the scale path for q30) -----
+
+# 16 bands × 4 random-hyperplane bits. P(bit agrees) = 1 − θ/π; at the
+# cosine-0.4 threshold (θ ≈ 1.159 rad) p ≈ 0.631, band match p⁴ ≈ 0.158,
+# recall over 16 bands ≈ 1 − (1 − p⁴)¹⁶ ≈ 0.94 — and higher for the
+# closer-than-threshold pairs that dominate real dedup output.
+PAIR_BANDS = 16
+PAIR_BAND_BITS = 4
+
+
+def _pair_planes() -> list[list[list[int]]]:
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(987654321))
+    return (
+        rng.integers(0, 2, size=(PAIR_BANDS, PAIR_BAND_BITS, 64)) * 2 - 1
+    ).tolist()
+
+
+_PAIR_PLANES = _pair_planes()
+
+
+def _band_keys(qcol) -> F.Column:
+    """array<struct<band,bkey>>: per band, the 4 sign bits of the quantized
+    vector against that band's hyperplanes, packed into one integer key.
+    Pure narrow expressions — signatures need NO shuffle; the only exchanges
+    in the pipeline are the bucket self-join and the candidate verify."""
+    entries = []
+    for band in range(PAIR_BANDS):
+        key = None
+        for r in range(PAIR_BAND_BITS):
+            arr = F.array(*[F.lit(int(v)) for v in _PAIR_PLANES[band][r]])
+            bit = (_dot(qcol, arr) >= 0).cast("long") * F.lit(1 << r)
+            key = bit if key is None else key + bit
+        entries.append(
+            F.struct(F.lit(band).alias("band"), key.alias("bkey"))
+        )
+    return F.array(*entries)
+
+
+def q34_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for q30: embedding near-dup PAIRS without the O(n²) join.
+
+    Candidates = vectors sharing any (band, 4-bit hyperplane key) bucket;
+    verification = exact integer dot restricted to candidates, same pinned
+    cosine + threshold as q30, so the output is a deterministic subset of
+    q30's pairs (recall ≈ 0.94 by banding theory; pytest asserts ≥ 0.9 on
+    the fixture). At 100 TB the bucket self-join shuffles only (vec_id,
+    band, key) triples and the full vectors are joined back for candidate
+    pairs only — q28's candidate→verify shape applied to embeddings."""
+    e = _quantized(_emb(spark, sf_dir)).select(
+        "vec_id", "q", _dot(F.col("q"), F.col("q")).alias("nq")
+    )
+    sig = e.select("vec_id", F.explode(_band_keys(F.col("q"))).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nq").alias("na"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
+    pairs = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", _dot(F.col("qa"), F.col("qb")).alias("dot_q"), "na", "nb")
+    )
+    cos = F.col("dot_q").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(COS_THRESHOLD))
+        .select("vec_a", "vec_b", "dot_q", "cosine")
+    )
+
+
+def _pair_planes_sql() -> str:
+    rows = ",\n    ".join(
+        f"({band}, {r}, {list(_PAIR_PLANES[band][r])})"
+        for band in range(PAIR_BANDS)
+        for r in range(PAIR_BAND_BITS)
+    )
+    return f"(VALUES\n    {rows}) AS planes(band, r, vec)"
+
+
+_Q34_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nq
+  FROM q, UNNEST(range(1, 65)) AS t(i) GROUP BY 1
+), bits AS (
+  SELECT q.vec_id, planes.band,
+         CAST(SUM(CASE WHEN (
+             SELECT SUM(q.qv[i] * planes.vec[i])
+             FROM UNNEST(range(1, 65)) AS t(i)
+           ) >= 0 THEN 1 << planes.r ELSE 0 END) AS BIGINT) AS bkey
+  FROM q, {_pair_planes_sql()}
+  GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bits a JOIN bits b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+), dots AS (
+  SELECT cand.vec_a, cand.vec_b,
+         CAST(SUM(qa.qv[i] * qb.qv[i]) AS BIGINT) AS dot_q
+  FROM cand
+  JOIN q qa ON qa.vec_id = cand.vec_a
+  JOIN q qb ON qb.vec_id = cand.vec_b,
+       UNNEST(range(1, 65)) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT d.vec_a, d.vec_b, d.dot_q,
+       CAST(d.dot_q AS DOUBLE)
+         / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE CAST(d.dot_q AS DOUBLE)
+      / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)))
+      >= {COS_THRESHOLD}
+"""
+
+
 QUERIES = {
     "q26_ann_cosine_topk": q26_ann_cosine_topk,
     "q27_label_centroids": q27_label_centroids,
@@ -357,6 +499,7 @@ QUERIES = {
     "q29_simhash_docs": q29_simhash_docs,
     "q30_embedding_near_dup": q30_embedding_near_dup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
+    "q34_embedding_lsh_pairs": q34_embedding_lsh_pairs,
 }
 
 ORACLE_SQL = {
@@ -367,4 +510,5 @@ ORACLE_SQL = {
     # covered in pytest vs the brute-force oracles.
     "q30_embedding_near_dup": _Q30_SQL,
     "q31_ann_lsh_topk": _Q31_SQL,
+    "q34_embedding_lsh_pairs": _Q34_SQL,
 }

@@ -1,51 +1,198 @@
-"""Tier-table sink (SURVEY.md §2.1 S3): idempotent partitioned parquet writes.
+"""Tier-table sink (SURVEY.md §2.1 S3) with write-side snapshot lineage.
 
 Tier tables are partitioned by ``bucket_date`` (day of ``bucket_start``) so
-retention (R4) and resume are partition drops / dynamic overwrites. On
-Iceberg this becomes ``overwritePartitions()``; locally we use Spark's dynamic
-partition overwrite which is semantically identical for this layout.
+retention (R4) and resume are partition drops / dynamic overwrites.  Each
+:func:`write_tier` is a COMMIT in the Iceberg sense: data files land in an
+immutable ``commit=<seq>/`` directory and a JSON snapshot manifest under
+``_snapshots/`` records which commit owns each ``bucket_date`` partition.
+Historical data files are retained, so :func:`read_tier` can read the table
+AS OF any prior snapshot id — the write-side half of the lineage story that
+pairs with ``sources/transcripts.resolve_snapshot`` on the read side.  On an
+Iceberg deployment ``write_tier`` becomes ``overwritePartitions()`` and
+``read_tier(snapshot_id=...)`` becomes ``VERSION AS OF``; the facade keeps
+the call sites mechanical to swap (same design rule as transcripts.py).
+
+Layout::
+
+    <path>/commit=<seq>/bucket_date=<d>/*.parquet   immutable data files
+    <path>/_snapshots/v<seq>.json                   snapshot manifests
+
+Both pandas/pyarrow and Spark ignore ``_``-prefixed entries, and the
+``commit=<seq>`` segment is key=value so raw directory readers still infer
+partitions; ``read_tier`` is the correct reader once a partition has been
+overwritten (raw reads would see every commit's files — exactly as raw
+reads of an Iceberg data dir would).  Single-driver commit protocol: the
+manifest write is the atomic commit point (os.replace), matching the
+engine's one-driver batch model (jobs/rollup.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import datetime
+import hashlib
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_SNAP_DIR = "_snapshots"
 
-def write_tier(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Write a tier table partitioned by bucket_date, dynamic overwrite."""
+
+def _snapshot_paths(path: str) -> list[str]:
+    d = os.path.join(path, _SNAP_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def list_snapshots(path: str) -> list[dict]:
+    """All committed snapshots, oldest first."""
+    out = []
+    for p in _snapshot_paths(path):
+        with open(p, encoding="utf-8") as f:
+            out.append(json.load(f))
+    return out
+
+
+def _resolve_manifest(path: str, snapshot_id: str | None) -> dict | None:
+    snaps = list_snapshots(path)
+    if not snaps:
+        return None
+    if snapshot_id is None:
+        return snaps[-1]
+    for s in snaps:
+        if s["snapshot_id"] == snapshot_id:
+            return s
+    raise RuntimeError(
+        f"tier table {path} has no snapshot {snapshot_id!r}; "
+        f"known: {[s['snapshot_id'] for s in snaps]}"
+    )
+
+
+def _commit(path: str, partitions: dict[str, list[int]], parent: str | None) -> str:
+    """Atomically write the next snapshot manifest; returns its snapshot id."""
+    seq = len(_snapshot_paths(path))
+    listing = []
+    for d, commits in sorted(partitions.items()):
+        for c in commits:
+            pdir = os.path.join(path, f"commit={c}", f"bucket_date={d}")
+            for fn in sorted(os.listdir(pdir)):
+                if fn.endswith(".parquet"):
+                    st = os.stat(os.path.join(pdir, fn))
+                    listing.append(f"commit={c}/bucket_date={d}/{fn}:{st.st_size}")
+    snap_id = hashlib.sha256("\n".join(listing).encode()).hexdigest()[:16]
+    manifest = {
+        "seq": seq,
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "partitions": partitions,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
+    tmp = os.path.join(path, _SNAP_DIR, f".v{seq:05d}.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, os.path.join(path, _SNAP_DIR, f"v{seq:05d}.json"))
+    return snap_id
+
+
+def write_tier(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """Commit a tier-table write; returns the new snapshot id.
+
+    ``mode="overwrite"`` replaces exactly the ``bucket_date`` partitions
+    present in ``df`` (dynamic-partition-overwrite semantics, expressed as a
+    manifest swap — the replaced commits' files stay on disk for time
+    travel).  ``mode="append"`` adds this commit's files alongside them.
+    """
+    parent = _resolve_manifest(path, None)
+    seq = parent["seq"] + 1 if parent else 0
+    dest = os.path.join(path, f"commit={seq}")
     (
         df.withColumn("bucket_date", F.to_date("bucket_start"))
-        .write.mode(mode)
-        .option("partitionOverwriteMode", "dynamic")
+        .write.mode("overwrite")
         .partitionBy("bucket_date")
-        .parquet(path)
+        .parquet(dest)
     )
+    written = sorted(
+        n.split("=", 1)[1] for n in os.listdir(dest) if n.startswith("bucket_date=")
+    )
+    partitions: dict[str, list[int]] = dict(parent["partitions"]) if parent else {}
+    for d in written:
+        if mode == "append" and d in partitions:
+            partitions[d] = partitions[d] + [seq]
+        else:
+            partitions[d] = [seq]
+    return _commit(path, partitions, parent["snapshot_id"] if parent else None)
+
+
+def read_tier(
+    spark: SparkSession, path: str, snapshot_id: str | None = None
+) -> DataFrame:
+    """Read the tier table, current or AS OF a prior ``snapshot_id``."""
+    manifest = _resolve_manifest(path, snapshot_id)
+    if manifest is None:
+        # pre-lineage layout (plain partitioned parquet dir)
+        return spark.read.parquet(path)
+    dirs = [
+        os.path.join(path, f"commit={c}", f"bucket_date={d}")
+        for d, commits in sorted(manifest["partitions"].items())
+        for c in commits
+    ]
+    if not dirs:
+        raise RuntimeError(f"snapshot {manifest['snapshot_id']} of {path} is empty")
+    return spark.read.option("basePath", path).parquet(*dirs).drop("commit")
 
 
 def expire(spark, path: str, older_than) -> int:
     """Retention enforcement (R4): drop partitions older than a cutoff.
 
-    Local parquet: delete ``bucket_date=...`` dirs below the cutoff date.
-    Iceberg: ``DELETE FROM t WHERE bucket_start < cutoff`` (metadata-only for
-    partition-aligned predicates). Returns number of partitions dropped.
+    Commits a new snapshot without the expired partitions AND physically
+    deletes their data files from every commit (Iceberg analogue: DELETE on
+    a partition-aligned predicate + expire_snapshots/vacuum).  Time travel
+    to snapshots that referenced the expired days is intentionally lost —
+    retention means the data is gone.  Returns the number of distinct
+    ``bucket_date`` partitions dropped.  Falls back to raw ``bucket_date=``
+    dir deletion for pre-lineage layouts.
     """
-    import datetime
-    import os
-    import shutil
-
     if isinstance(older_than, str):
         older_than = datetime.date.fromisoformat(older_than)
     elif isinstance(older_than, datetime.datetime):
         older_than = older_than.date()
-    dropped = 0
     if not os.path.isdir(path):
         return 0
+
+    manifest = _resolve_manifest(path, None)
+    if manifest is None:
+        dropped = 0
+        for name in os.listdir(path):
+            if not name.startswith("bucket_date="):
+                continue
+            d = datetime.date.fromisoformat(name.split("=", 1)[1])
+            if d < older_than:
+                shutil.rmtree(os.path.join(path, name))
+                dropped += 1
+        return dropped
+
+    keep: dict[str, list[int]] = {}
+    expired: list[str] = []
+    for d, commits in manifest["partitions"].items():
+        if datetime.date.fromisoformat(d) < older_than:
+            expired.append(d)
+        else:
+            keep[d] = commits
+    if not expired:
+        return 0
     for name in os.listdir(path):
-        if not name.startswith("bucket_date="):
+        if not name.startswith("commit="):
             continue
-        d = datetime.date.fromisoformat(name.split("=", 1)[1])
-        if d < older_than:
-            shutil.rmtree(os.path.join(path, name))
-            dropped += 1
-    return dropped
+        for d in expired:
+            pdir = os.path.join(path, name, f"bucket_date={d}")
+            if os.path.isdir(pdir):
+                shutil.rmtree(pdir)
+    _commit(path, keep, manifest["snapshot_id"])
+    return len(expired)

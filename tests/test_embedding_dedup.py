@@ -1,0 +1,31 @@
+"""LSH-bucketed embedding near-dup pairs (q34) vs the brute-force all-pairs
+oracle (q30): the exact-verify step makes q34's output a strict subset of
+q30's, banding must recover ≥ 0.9 of it, and values for common pairs are
+bit-identical (same pinned integer-dot → cosine arithmetic)."""
+
+from __future__ import annotations
+
+from features_engineering_of_motion_data_spark.queries.vector import (
+    q30_embedding_near_dup,
+    q34_embedding_lsh_pairs,
+)
+
+
+def _pairs(df):
+    return set(zip(df["vec_a"].tolist(), df["vec_b"].tolist()))
+
+
+def test_lsh_embedding_pairs_subset_and_recall(spark, sf_dir):
+    brute = q30_embedding_near_dup(spark, sf_dir).toPandas()
+    lsh = q34_embedding_lsh_pairs(spark, sf_dir).toPandas()
+
+    bp, lp = _pairs(brute), _pairs(lsh)
+    assert lp <= bp, f"LSH produced non-pairs: {lp - bp}"
+    # NOTE: 0.94 expected by banding theory at cosine exactly 0.4; the
+    # fixture's pair population sits above the threshold, so ≥ 0.9 holds for
+    # the pinned fixture/planes seed (not a general guarantee).
+    assert len(lp) >= 0.9 * len(bp), f"recall {len(lp)}/{len(bp)} < 0.9"
+
+    merged = brute.merge(lsh, on=["vec_a", "vec_b"], suffixes=("_b", "_l"))
+    assert (merged["dot_q_b"] == merged["dot_q_l"]).all()
+    assert (merged["cosine_b"] == merged["cosine_l"]).all()

@@ -72,6 +72,23 @@ def test_small_dims_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_rollup_merge_reuses_cached_stats(spark, tiny_path):
+    """bench.py times each tier merge against the persisted 1m frame; the
+    merge plan must actually read the cache (InMemoryTableScan), not
+    recompute the base aggregation from the parquet scan."""
+    ch = derive_channels(dedup_turns(read_transcripts(spark, tiny_path)))
+    base = aggregate_tier(ch, "1m").persist()
+    try:
+        base.count()
+        plan = _plan(rollup_merge(base, "1h"))
+        # (the plan string also prints the cached relation's ORIGINAL build
+        # plan under InMemoryRelation, so "FileScan" appears textually; the
+        # executed read is the InMemoryTableScan above it)
+        assert "InMemoryTableScan" in plan
+    finally:
+        base.unpersist()
+
+
 def test_rollup_job_scans_input_once(spark, tiny_path, tmp_path, monkeypatch):
     """The batch job's scale contract: a P-range run reads the raw input
     EXACTLY once (the stage build), never once-per-range; a resumed run whose

@@ -1,0 +1,96 @@
+"""Write-side snapshot lineage (SURVEY §2.1 S2/S3): every write_tier commit
+is a snapshot; read_tier reads the table AS OF any prior snapshot id;
+retention expiry commits a new snapshot and genuinely removes the data."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from features_engineering_of_motion_data_spark.operators.channels import (
+    dedup_turns,
+    derive_channels,
+)
+from features_engineering_of_motion_data_spark.operators.features import (
+    features_from_turns,
+)
+from features_engineering_of_motion_data_spark.sources.sinks import (
+    expire,
+    list_snapshots,
+    read_tier,
+    write_tier,
+)
+from features_engineering_of_motion_data_spark.sources.transcripts import (
+    read_transcripts,
+)
+
+
+@pytest.fixture(scope="module")
+def feats(spark, tiny_path):
+    df = features_from_turns(
+        derive_channels(dedup_turns(read_transcripts(spark, tiny_path))), "1d"
+    ).cache()
+    df.count()
+    return df
+
+
+def _pdf(df) -> pd.DataFrame:
+    return (
+        df.toPandas()
+        .sort_values(["conv_id", "channel", "bucket_start"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_overwrite_commit_and_time_travel(spark, feats, tmp_path):
+    out = str(tmp_path / "tier_1d")
+    snap1 = write_tier(feats, out)
+
+    # overwrite ONE day's partition with doctored rows (n bumped by 1000)
+    from pyspark.sql import functions as F
+
+    day = feats.select(F.min(F.to_date("bucket_start")).alias("d")).collect()[0]["d"]
+    doctored = feats.filter(F.to_date("bucket_start") == F.lit(day)).withColumn(
+        "n", F.col("n") + F.lit(1000)
+    )
+    snap2 = write_tier(doctored, out)
+    assert snap1 != snap2
+    assert [s["snapshot_id"] for s in list_snapshots(out)] == [snap1, snap2]
+
+    cur = _pdf(read_tier(spark, out).drop("bucket_date"))
+    old = _pdf(read_tier(spark, out, snapshot_id=snap1).drop("bucket_date"))
+    base = _pdf(feats)
+    # AS OF the first snapshot → the original rows, bit-for-bit
+    pd.testing.assert_frame_equal(old, base, check_exact=True)
+    # current snapshot: the doctored day replaced, the other days untouched
+    assert len(cur) == len(base)
+    day_mask = cur["bucket_start"].dt.date == day
+    assert (
+        cur.loc[day_mask, "n"].to_numpy()
+        == base.loc[day_mask, "n"].to_numpy() + 1000
+    ).all()
+    pd.testing.assert_frame_equal(
+        cur[~day_mask].reset_index(drop=True),
+        base[~day_mask].reset_index(drop=True),
+        check_exact=True,
+    )
+
+    # unknown snapshot id is a hard error
+    with pytest.raises(RuntimeError, match="no snapshot"):
+        read_tier(spark, out, snapshot_id="deadbeef00000000")
+
+
+def test_expire_commits_snapshot_and_deletes(spark, feats, tmp_path):
+    out = str(tmp_path / "tier_1d")
+    write_tier(feats, out)
+    days = sorted(_pdf(feats)["bucket_start"].dt.date.unique())
+    assert len(days) > 1
+    cutoff = days[1].isoformat()
+
+    dropped = expire(spark, out, cutoff)
+    assert dropped == 1
+    assert expire(spark, out, cutoff) == 0  # idempotent
+    cur = _pdf(read_tier(spark, out))
+    assert str(cur["bucket_start"].dt.date.min()) >= cutoff
+    # expiry is itself a commit in the lineage
+    assert len(list_snapshots(out)) == 2

@@ -26,7 +26,10 @@ def test_lsh_pairs_subset_and_recall(spark, sf_dir):
     bp, lp = _pairs(brute), _pairs(lsh)
     # verification step makes LSH output a subset of the exact answer
     assert lp <= bp, f"LSH produced non-pairs: {lp - bp}"
-    # banding recall: every pair with jaccard >= 0.6 must be found
+    # banding recall: every pair with jaccard >= 0.6 must be found.
+    # NOTE: banding theory gives ~99.9% expected recall at s=0.6 (16 bands
+    # of 2 rows), not 100% — this strict assertion is pinned to the
+    # deterministic fixture/seed, not a general guarantee.
     strong = _pairs(brute[brute["jaccard"] >= 0.6])
     assert strong <= lp, f"LSH missed strong pairs: {strong - lp}"
     # values for common pairs are identical (same exact-verify arithmetic)
