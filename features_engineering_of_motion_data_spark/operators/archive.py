@@ -57,30 +57,34 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     ti = pdf["turn_idx"].to_numpy(np.int64)
     x = pdf["x"].to_numpy(np.int64)
     bucket = (ts // step) * step
-    rows = []
-    # bucket boundaries without re-sorting: buckets are contiguous runs iff ts
-    # is monotone in turn_idx (transcript contract); np.unique handles stray
-    # non-monotone series correctly as well
-    for b in np.unique(bucket):
-        sel = bucket == b
-        t_dod = encode_dod(ti[sel])
-        s_dod = encode_dod(ts[sel])
-        v_gor = encode_xor(x[sel].astype(np.float64))
-        n = int(sel.sum())
-        rows.append(
-            {
-                "conv_id": conv_id,
-                "channel": channel,
-                "bucket_us": int(b),
-                "n": n,
-                "turn_dod": t_dod,
-                "ts_dod": s_dod,
-                "val_gorilla": v_gor,
-                "raw_bytes": 24 * n,
-                "encoded_bytes": len(t_dod) + len(s_dod) + len(v_gor),
-            }
-        )
-    return pd.DataFrame(rows, columns=[f.name for f in ARCHIVE_SCHEMA.fields])
+    # stable sort by bucket makes each bucket one contiguous run (a no-op
+    # reorder when ts is monotone in turn_idx, the transcript contract, but
+    # correct for stray non-monotone series too) — so per-bucket work is a
+    # slice, not an O(n) boolean mask per bucket
+    o = np.argsort(bucket, kind="stable")
+    bucket, ti, ts, x = bucket[o], ti[o], ts[o], x[o]
+    ub, starts = np.unique(bucket, return_index=True)
+    ends = np.append(starts[1:], len(bucket))
+    xf = x.astype(np.float64)
+    t_dod = [encode_dod(ti[s:e]) for s, e in zip(starts, ends)]
+    s_dod = [encode_dod(ts[s:e]) for s, e in zip(starts, ends)]
+    v_gor = [encode_xor(xf[s:e]) for s, e in zip(starts, ends)]
+    n = ends - starts
+    return pd.DataFrame(
+        {
+            "conv_id": conv_id,
+            "channel": channel,
+            "bucket_us": ub,
+            "n": n,
+            "turn_dod": t_dod,
+            "ts_dod": s_dod,
+            "val_gorilla": v_gor,
+            "raw_bytes": 24 * n,
+            "encoded_bytes": [
+                len(a) + len(b) + len(c) for a, b, c in zip(t_dod, s_dod, v_gor)
+            ],
+        }
+    )
 
 
 def build_archive(channels: DataFrame, tier: str = "1h") -> DataFrame:

@@ -463,6 +463,57 @@ FROM r
 """
 
 
+# --- q35: per-tier ops metrics (A9 at the table level) -----------------------
+
+
+def q35_tier_ops_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events-fixture face of operators/metrics.tier_metrics: one metrics
+    row per tier summarizing what an operator monitors — bucket count, point
+    volume, exact distinct conversations, bucket coverage, checksum-grade
+    total. (The HLL-sketch twin column is engine-specific and covered by
+    tests/test_metrics.py; this driver-checked face keeps to portable SQL.)
+    """
+    b = _base(spark, sf_dir)
+    outs = []
+    for tier, step in (("1h", HOUR_US), ("1d", DAY_US)):
+        s = b.groupBy(
+            "user_id", _bucket(F.col("ts_us"), step).alias("bucket_us")
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s1"))
+        outs.append(
+            s.agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.sum("n").alias("n_points"),
+                F.countDistinct("user_id").alias("n_convs"),
+                F.min("bucket_us").alias("first_bucket_us"),
+                F.max("bucket_us").alias("last_bucket_us"),
+                F.sum("s1").alias("total_s1_cents"),
+            ).select(F.lit(tier).alias("tier"), "*")
+        )
+    return outs[0].unionByName(outs[1])
+
+
+_Q35_SQL = f"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), tiers(tier, step) AS (VALUES ('1h', {HOUR_US}), ('1d', {DAY_US})),
+s AS (
+  SELECT tier, user_id, ts_us - ts_us % step AS bucket_us,
+         COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s1
+  FROM c, tiers GROUP BY 1, 2, 3
+)
+SELECT tier,
+       COUNT(*) AS n_buckets,
+       CAST(SUM(n) AS BIGINT) AS n_points,
+       COUNT(DISTINCT user_id) AS n_convs,
+       MIN(bucket_us) AS first_bucket_us,
+       MAX(bucket_us) AS last_bucket_us,
+       CAST(SUM(s1) AS BIGINT) AS total_s1_cents
+FROM s GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_tier_features_1h": q01_tier_features_1h,
     "q02_zero_crossings_1d": q02_zero_crossings_1d,
@@ -475,6 +526,7 @@ QUERIES = {
     "q09_topk_hot_users": q09_topk_hot_users,
     "q10_rollup_event_types": q10_rollup_event_types,
     "q19_rolling_features": q19_rolling_features,
+    "q35_tier_ops_metrics": q35_tier_ops_metrics,
 }
 
 ORACLE_SQL = {
@@ -489,4 +541,5 @@ ORACLE_SQL = {
     "q09_topk_hot_users": _Q09_SQL,
     "q10_rollup_event_types": _Q10_SQL,
     "q19_rolling_features": _Q19_SQL,
+    "q35_tier_ops_metrics": _Q35_SQL,
 }

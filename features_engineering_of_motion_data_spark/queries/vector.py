@@ -195,7 +195,13 @@ def q29_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of Σ_tokens count·(±1) where ± is bit j of xxhash64(token). Near-dup docs
     land at small Hamming distance (tests/test_text_dedup.py asserts the
     correlation against the exact-Jaccard pairs). Rows-only driver check —
-    xxhash64 has no portable DuckDB equivalent."""
+    xxhash64 has no portable DuckDB equivalent.
+
+    All 64 bit-sums are aggregate EXPRESSIONS in one hash aggregation (with
+    map-side partials) rather than an explode over j∈[0,64) — the earlier
+    formulation amplified the token frame 64× through a shuffle; this one
+    shuffles only (doc_id, tok) rows and packs the signature in a single
+    narrow select. Integer sums ⇒ result is identical at any parallelism."""
     toks = (
         _with_tokens(_docs(spark, sf_dir))
         .select("doc_id", F.explode("toks").alias("tok"))
@@ -203,22 +209,18 @@ def q29_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.xxhash64("tok"))
     )
-    bit = F.expr("shiftrightunsigned(h, j) & 1")
-    contrib = (bit * 2 - 1) * F.col("cnt")
-    sums = (
-        toks.select(
-            "doc_id", "cnt", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j")
-        )
-        .withColumn("contrib", contrib)
-        .groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    sig_bit = (F.col("s") > 0).cast("long") * F.expr("shiftleft(1L, j)")
-    return (
-        sums.withColumn("b", sig_bit)
-        .groupBy("doc_id")
-        .agg(F.sum("b").alias("simhash64"))
-    )
+    bit_sums = [
+        F.sum(
+            (F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) * 2 - 1) * F.col("cnt")
+        ).alias(f"s{j}")
+        for j in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for j in range(64):
+        b = (F.col(f"s{j}") > 0).cast("long") * F.lit(1 << j if j < 63 else -(1 << 63))
+        sig = b if sig is None else sig + b
+    return sums.select("doc_id", sig.alias("simhash64"))
 
 
 # --- q30: embedding-cosine near-duplicate pairs ------------------------------
