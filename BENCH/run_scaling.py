@@ -36,7 +36,8 @@ from features_engineering_of_motion_data_spark.operators.rollup import rollup_me
 from features_engineering_of_motion_data_spark.sources.transcripts import read_transcripts
 
 n = int(sys.argv[1])
-spark = get_spark(master="local[%d]" % n, shuffle_partitions=n)
+parts = int(sys.argv[4])
+spark = get_spark(master="local[%d]" % n, shuffle_partitions=parts)
 turns = read_transcripts(spark, sys.argv[2])
 def force(df):
     return df.select(F.count(F.lit(1))).collect()[0][0]
@@ -53,13 +54,22 @@ spark.stop()
 """
 
 
-def measure(cores: int, input_path: str, pin: bool = False) -> tuple[float, int]:
+def measure(
+    cores: int, input_path: str, pin: bool = False, parts_mult: int = 1
+) -> tuple[float, int]:
     """pin=True runs the child under taskset on `cores` CPUs so the WHOLE JVM
     (GC, shuffle, I/O threads — not just task slots) is bounded to N cores:
-    the honest simulation of an N-core executor node."""
+    the honest simulation of an N-core executor node.
+
+    parts_mult sets shuffle partitions = parts_mult x cores: >1 gives the
+    standard multiple-waves-per-core layout that bin-packs the hot-conv
+    partition skew (max/mean 1.35 at 8 hash buckets on the bench corpus)
+    instead of eating it in a single wave."""
     prefix = ["taskset", "-c", f"0-{cores - 1}"] if pin else []
     out = subprocess.run(
-        prefix + [sys.executable, "-c", CHILD, str(cores), input_path, REPO],
+        prefix
+        + [sys.executable, "-c", CHILD, str(cores), input_path, REPO,
+           str(parts_mult * cores)],
         capture_output=True,
         text=True,
         cwd=REPO,
@@ -77,6 +87,9 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--pin", action="store_true",
                     help="taskset-pin each child JVM to its core budget")
+    ap.add_argument("--parts-mult", type=int, default=1,
+                    help="shuffle partitions = mult x cores (records kept "
+                         "per mult; >1 smooths hash-bucket skew via waves)")
     ap.add_argument(
         "--input",
         default=os.path.join(REPO, "tests/data/transcripts_bench.parquet"),
@@ -96,9 +109,10 @@ def main() -> None:
     points = None
     # merge with prior samples: the host throttles unpredictably, so min over
     # MANY samples is the only consistent estimator of unthrottled time
-    out_path = os.path.join(
-        REPO, "BENCH", "scaling_pinned.json" if args.pin else "scaling.json"
-    )
+    base = "scaling_pinned" if args.pin else "scaling"
+    if args.parts_mult != 1:
+        base += f"_p{args.parts_mult}"
+    out_path = os.path.join(REPO, "BENCH", base + ".json")
     if os.path.exists(out_path):
         prior = json.load(open(out_path))
         if prior.get("input") == os.path.basename(args.input):
@@ -107,7 +121,8 @@ def main() -> None:
             points = prior.get("feature_points")
     for rep in range(args.reps):
         for c in cores:  # interleave configs within each round
-            dt, pts = measure(c, args.input, pin=args.pin)
+            dt, pts = measure(c, args.input, pin=args.pin,
+                              parts_mult=args.parts_mult)
             runs[c].append(dt)
             points = pts
             print(f"round {rep} local[{c}]: {dt:.1f}s ({pts} points)", flush=True)
@@ -122,6 +137,7 @@ def main() -> None:
                 effs[f"{a}->{b}"] = pps[b] / (4 * pps[a])
     result = {
         "input": os.path.basename(args.input),
+        "shuffle_parts_mult": args.parts_mult,
         "feature_points": points,
         "wall_s_all": runs,
         "wall_s_best": best,
