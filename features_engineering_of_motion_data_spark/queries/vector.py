@@ -494,6 +494,162 @@ WHERE CAST(d.dot_q AS DOUBLE)
 """
 
 
+# --- q36: IVF-bucketed ANN (coarse quantizer + probe, the other scale path) --
+
+IVF_NPROBE = 2
+
+
+def q36_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer → inverted lists → probe → exact rank.
+
+    The coarse quantizer is the per-label mean in quantized-integer space (a
+    deterministic stand-in for k-means centroids — same inverted-file shape,
+    no iterative training, so the DuckDB oracle can mirror it exactly).
+    Assignment is argmin ||v − s_c/n_c||², evaluated without materializing
+    float centroids: with exact integers dot = v·s_c, ns = ‖s_c‖², n = n_c,
+    the ranking value f = (ns/n − 2·dot)/n is a THREE-step pinned double
+    expression over exact ints (‖v‖² is constant per vector and dropped), so
+    both engines assign identically bit-for-bit. The query probes its
+    IVF_NPROBE nearest centroids; candidates = vectors whose inverted list
+    is probed; final ranking = exact-integer dot → pinned cosine (as q26).
+
+    At scale: centroid table is tiny (L×(64+2) values) → broadcast; the
+    assignment is the standard O(n·L·d) dense scan as one narrow
+    crossJoin+aggregate (no shuffle beyond the final per-vector argmin,
+    which reuses the vec_id partitioning); inverted lists are just an
+    assigned-label column, so the probe is a broadcast semi-join.
+    """
+    e = _quantized(_emb(spark, sf_dir))
+    # per-label integer centroid sufficient stats, packed back to arrays
+    cent = (
+        e.select("label", F.posexplode("q").alias("i", "qi"))
+        .groupBy("label", "i")
+        .agg(F.sum("qi").alias("s"), F.count(F.lit(1)).alias("cn"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
+            ).alias("sv"),
+            F.max("cn").alias("cn"),
+        )
+        .withColumn(
+            "ns",
+            F.aggregate(
+                F.transform("sv", lambda v: (v * v).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .select(F.col("label").alias("c_label"), "sv", "cn", "ns")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "q",
+        "c_label",
+        (
+            (F.col("ns").cast("double") / F.col("cn").cast("double")
+             - F.lit(2.0) * _dot(F.col("q"), F.col("sv")).cast("double"))
+            / F.col("cn").cast("double")
+        ).alias("f"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("f", "c_label")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("vec_id", "label", "q", "c_label", "rn")
+    )
+    probes = (
+        assigned.filter(F.col("vec_id") == 0)
+        .select(F.col("c_label").alias("probe_label"))
+    )
+    qvec = (
+        assigned.filter((F.col("vec_id") == 0) & (F.col("rn") == 1))
+        .select(F.col("q").alias("qv"))
+    )
+    cand = (
+        assigned.filter((F.col("vec_id") != 0) & (F.col("rn") == 1))
+        .join(F.broadcast(probes), F.col("c_label") == F.col("probe_label"), "semi")
+        .crossJoin(F.broadcast(qvec))
+    )
+    d = cand.select(
+        "vec_id",
+        "label",
+        "c_label",
+        _dot(F.col("q"), F.col("qv")).alias("dot_q"),
+        _dot(F.col("q"), F.col("q")).alias("na_q"),
+        _dot(F.col("qv"), F.col("qv")).alias("nb_q"),
+    )
+    cos = F.col("dot_q").cast("double") / (
+        F.sqrt(F.col("na_q").cast("double")) * F.sqrt(F.col("nb_q").cast("double"))
+    )
+    return (
+        d.withColumn("cosine", cos)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+        .select("vec_id", "label", "c_label", "dot_q", "cosine")
+    )
+
+
+_Q36_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), cent AS (
+  SELECT label AS c_label, i,
+         CAST(SUM(qv[i]) AS BIGINT) AS s, COUNT(*) AS cn
+  FROM q, UNNEST(range(1, 65)) AS t(i)
+  GROUP BY 1, 2
+), centagg AS (
+  SELECT c_label, MAX(cn) AS cn,
+         SUM(CAST(s AS HUGEINT) * s) AS ns
+  FROM cent GROUP BY 1
+), dots AS (
+  SELECT q.vec_id, q.label, c.c_label,
+         CAST(SUM(q.qv[c.i] * c.s) AS BIGINT) AS dot
+  FROM q CROSS JOIN cent c
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT d.vec_id, d.label, d.c_label,
+         (CAST(ca.ns AS DOUBLE) / CAST(ca.cn AS DOUBLE)
+          - 2.0 * CAST(d.dot AS DOUBLE)) / CAST(ca.cn AS DOUBLE) AS f
+  FROM dots d JOIN centagg ca ON ca.c_label = d.c_label
+), assigned AS (
+  SELECT vec_id, label, c_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY f, c_label) AS rn
+  FROM scored
+), probes AS (
+  SELECT c_label AS probe_label FROM assigned
+  WHERE vec_id = 0 AND rn <= {IVF_NPROBE}
+), cand AS (
+  SELECT a.vec_id, a.label, a.c_label
+  FROM assigned a
+  WHERE a.vec_id != 0 AND a.rn = 1
+    AND a.c_label IN (SELECT probe_label FROM probes)
+), ranked AS (
+  SELECT c.vec_id, c.label, c.c_label,
+         CAST((SELECT SUM(qa.qv[i] * qb.qv[i])
+               FROM UNNEST(range(1, 65)) AS t(i)) AS BIGINT) AS dot_q,
+         CAST((SELECT SUM(qa.qv[i] * qa.qv[i])
+               FROM UNNEST(range(1, 65)) AS t(i)) AS BIGINT) AS na_q,
+         CAST((SELECT SUM(qb.qv[i] * qb.qv[i])
+               FROM UNNEST(range(1, 65)) AS t(i)) AS BIGINT) AS nb_q
+  FROM cand c
+  JOIN q qa ON qa.vec_id = c.vec_id
+  JOIN q qb ON qb.vec_id = 0
+)
+SELECT vec_id, label, c_label, dot_q,
+       CAST(dot_q AS DOUBLE)
+         / (sqrt(CAST(na_q AS DOUBLE)) * sqrt(CAST(nb_q AS DOUBLE))) AS cosine
+FROM ranked
+ORDER BY cosine DESC, vec_id ASC LIMIT {TOPK}
+"""
+
+
 QUERIES = {
     "q26_ann_cosine_topk": q26_ann_cosine_topk,
     "q27_label_centroids": q27_label_centroids,
@@ -502,6 +658,7 @@ QUERIES = {
     "q30_embedding_near_dup": q30_embedding_near_dup,
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
     "q34_embedding_lsh_pairs": q34_embedding_lsh_pairs,
+    "q36_ann_ivf_topk": q36_ann_ivf_topk,
 }
 
 ORACLE_SQL = {
@@ -513,4 +670,5 @@ ORACLE_SQL = {
     "q30_embedding_near_dup": _Q30_SQL,
     "q31_ann_lsh_topk": _Q31_SQL,
     "q34_embedding_lsh_pairs": _Q34_SQL,
+    "q36_ann_ivf_topk": _Q36_SQL,
 }

@@ -15,6 +15,28 @@ def _pairs(df):
     return set(zip(df["vec_a"].tolist(), df["vec_b"].tolist()))
 
 
+def test_ivf_topk_structure(spark, sf_dir):
+    """IVF probe (q36) vs brute force (q26): common neighbours carry
+    bit-identical cosines (same pinned arithmetic), the IVF list is sorted,
+    and the probe finds a non-trivial share of the true top-k. Recall on
+    this fixture is modest BY DESIGN — the synthetic embeddings don't
+    cluster by label, so the label-mean coarse quantizer scatters true
+    neighbours across lists; the assertion pins the deterministic floor."""
+    from features_engineering_of_motion_data_spark.queries.vector import (
+        q26_ann_cosine_topk,
+        q36_ann_ivf_topk,
+    )
+
+    brute = q26_ann_cosine_topk(spark, sf_dir).toPandas()
+    ivf = q36_ann_ivf_topk(spark, sf_dir).toPandas()
+    assert len(ivf) == len(brute) == 10
+    assert (ivf["cosine"].diff().dropna() <= 0).all()
+    merged = brute.merge(ivf, on="vec_id", suffixes=("_b", "_i"))
+    assert len(merged) >= 2  # fixture-pinned overlap floor
+    assert (merged["cosine_b"] == merged["cosine_i"]).all()
+    assert (merged["dot_q_b"] == merged["dot_q_i"]).all()
+
+
 def test_lsh_embedding_pairs_subset_and_recall(spark, sf_dir):
     brute = q30_embedding_near_dup(spark, sf_dir).toPandas()
     lsh = q34_embedding_lsh_pairs(spark, sf_dir).toPandas()
