@@ -80,6 +80,17 @@ def test_overwrite_commit_and_time_travel(spark, feats, tmp_path):
         read_tier(spark, out, snapshot_id="deadbeef00000000")
 
 
+def test_append_mode_accumulates(spark, feats, tmp_path):
+    out = str(tmp_path / "tier_1d")
+    snap1 = write_tier(feats, out)
+    snap2 = write_tier(feats, out, mode="append")
+    cur = read_tier(spark, out)
+    n = feats.count()
+    assert cur.count() == 2 * n
+    assert read_tier(spark, out, snapshot_id=snap1).count() == n
+    assert snap1 != snap2
+
+
 def test_expire_commits_snapshot_and_deletes(spark, feats, tmp_path):
     out = str(tmp_path / "tier_1d")
     write_tier(feats, out)
