@@ -105,9 +105,9 @@ def _build_stage(spark, args, snapshot: str, finest: str, stage_dir: str) -> dic
     turns = turns.observe(obs, *counters)
     t0 = time.perf_counter()
     stats = aggregate_tier(derive_channels(dedup_turns(turns)), finest)
+    staged = stats.withColumn("part", _part_expr(args.num_parts))
     (
-        stats.withColumn("part", _part_expr(args.num_parts))
-        .write.mode("overwrite")
+        staged.write.mode("overwrite")
         .partitionBy("part")
         .parquet(os.path.join(stage_dir, "stats"))
     )
@@ -118,6 +118,9 @@ def _build_stage(spark, args, snapshot: str, finest: str, stage_dir: str) -> dic
         "finest": finest,
         "rows_in": {str(k): int(rows[f"p{k}"] or 0) for k in range(args.num_parts)},
         "stage_wall_s": round(time.perf_counter() - t0, 3),
+        # explicit read schema: an empty input writes NO partition dirs, and
+        # a schema-less parquet read of that would fail
+        "schema": staged.schema.json(),
     }
     tmp = os.path.join(stage_dir, "meta.json.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
@@ -137,6 +140,7 @@ def _load_stage_meta(stage_dir: str, snapshot: str, args, finest: str):
         meta.get("snapshot_id") == snapshot
         and meta.get("num_parts") == args.num_parts
         and meta.get("finest") == finest
+        and meta.get("schema")
     ):
         return meta
     return None
@@ -169,7 +173,11 @@ def run(args) -> int:
     if meta is None:
         meta = _build_stage(spark, args, snapshot, finest, stage_dir)
 
-    staged = spark.read.parquet(os.path.join(stage_dir, "stats"))
+    from pyspark.sql import types as T
+
+    staged = spark.read.schema(
+        T.StructType.fromJson(json.loads(meta["schema"]))
+    ).parquet(os.path.join(stage_dir, "stats"))
 
     ran = 0
     for part in range(args.num_parts):

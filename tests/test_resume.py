@@ -61,6 +61,28 @@ def test_resume_after_crash_is_identical(tmp_path_factory, base_args):
         pd.testing.assert_frame_equal(a[t], b[t], check_exact=True)
 
 
+def test_empty_input_completes(tmp_path):
+    """Zero-row input → zero partition dirs in the stage; the explicit
+    read-schema path must still complete all ranges with 0 rows_in."""
+    import pandas as pd
+
+    src = str(tmp_path / "empty.parquet")
+    pd.DataFrame(
+        {"conv_id": pd.Series([], dtype="str"),
+         "turn_idx": pd.Series([], dtype="int32"),
+         "role": pd.Series([], dtype="str"),
+         "text": pd.Series([], dtype="str"),
+         "tool": pd.Series([], dtype="str"),
+         "ts": pd.Series([], dtype="datetime64[us]")}
+    ).to_parquet(src)
+    out = str(tmp_path / "out")
+    assert _run(["--input", src, "--output", out, "--tiers", "1m",
+                 "--num-parts", "2", "--master", "local[2]"]) == 0
+    recs = [json.loads(x) for x in open(os.path.join(out, "_ckpt.jsonl"))]
+    assert len(recs) == 2
+    assert all(r["rows_in"] == 0 for r in recs)
+
+
 def test_snapshot_mismatch_aborts(tmp_path, base_args, tiny_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt.jsonl")
