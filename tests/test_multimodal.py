@@ -61,6 +61,32 @@ def test_frame_sampling(spark, media):
     assert (frames["frame_idx"] % 2 == 0).all()
 
 
+def test_native_le_int32_parse_matches_struct(spark):
+    """The JVM-side hex/conv little-endian parse must agree with Python's
+    struct.unpack on random headers, including extreme field values."""
+    import struct
+
+    import pandas as pd
+
+    from features_engineering_of_motion_data_spark.operators.multimodal import (
+        MAGIC,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [rng.integers(0, 2**31 - 1, size=50), [0, 1, 2**31 - 1]]
+    )
+    payloads = [
+        MAGIC + struct.pack("<biii", int(v) % 3, int(v), int(v) // 2, 1) + b"\x00"
+        for v in vals
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(payloads)), "payload": payloads})
+    meta = extract_metadata(spark.createDataFrame(pdf)).toPandas().sort_values("doc_id")
+    assert meta["valid"].all()
+    assert meta["width"].tolist() == [int(v) for v in vals]
+    assert meta["height"].tolist() == [int(v) // 2 for v in vals]
+
+
 def test_corrupt_payload_flagged(spark):
     import pandas as pd
 
