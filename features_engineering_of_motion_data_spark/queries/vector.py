@@ -407,7 +407,18 @@ def q34_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     q30's pairs (recall ≈ 0.94 by banding theory; pytest asserts ≥ 0.9 on
     the fixture). At 100 TB the bucket self-join shuffles only (vec_id,
     band, key) triples and the full vectors are joined back for candidate
-    pairs only — q28's candidate→verify shape applied to embeddings."""
+    pairs only — q28's candidate→verify shape applied to embeddings.
+
+    Selectivity regime (be honest about the math): a random pair matches a
+    4-bit band with prob 0.5⁴, so over 16 bands ~64 % of ALL pairs become
+    candidates — at the fixture's cos ≥ 0.4 threshold the filter is weak
+    and the pass costs nearly as much as brute force. That is a property of
+    the threshold, not the shape: at production near-dup thresholds
+    (cos ≥ 0.8 ⇒ p_bit ≈ 0.80, p_band ≈ 0.41, random ≈ 0.06) the same
+    16×4 banding passes <7 % of random pairs at >99.97 % recall. The
+    fixture (max pair cosine ≈ 0.5) exercises the candidate→verify
+    CORRECTNESS contract; tune PAIR_BAND_BITS/PAIR_BANDS to the deployed
+    threshold."""
     e = _quantized(_emb(spark, sf_dir)).select(
         "vec_id", "q", _dot(F.col("q"), F.col("q")).alias("nq")
     )
