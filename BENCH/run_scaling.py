@@ -38,10 +38,32 @@ from features_engineering_of_motion_data_spark.sources.transcripts import read_t
 n = int(sys.argv[1])
 parts = int(sys.argv[4])
 spark = get_spark(master="local[%d]" % n, shuffle_partitions=parts)
+
+import os, resource
+def _proc_cpu_s():
+    # total CPU-seconds of this python + every live child process (the JVM):
+    # /proc/<pid>/stat utime+stime aggregate all threads of the process
+    hz = os.sysconf("SC_CLK_TCK")
+    total = 0.0
+    me = str(os.getpid())
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts_ = f.read().rsplit(") ", 1)[1].split()
+            if parts_[1] == me:  # ppid == this python
+                total += (int(parts_[11]) + int(parts_[12])) / hz
+        except (OSError, IndexError):
+            continue
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    return total + ru.ru_utime + ru.ru_stime
+
 turns = read_transcripts(spark, sys.argv[2])
 def force(df):
     return df.select(F.count(F.lit(1))).collect()[0][0]
 force(aggregate_tier(derive_channels(dedup_turns(turns.limit(100_000))), "1m"))  # JIT warmup
+cpu0 = _proc_cpu_s()
 t0 = time.perf_counter()
 s1m = aggregate_tier(derive_channels(dedup_turns(turns)), "1m")
 pts = force(finalize_features(s1m))
@@ -49,7 +71,8 @@ s1h = rollup_merge(s1m, "1h")
 pts += force(finalize_features(s1h))
 pts += force(finalize_features(rollup_merge(s1h, "1d")))
 dt = time.perf_counter() - t0
-print("MEASURE %d %f %d" % (n, dt, pts))
+cpu = _proc_cpu_s() - cpu0
+print("MEASURE %d %f %d %f" % (n, dt, pts, cpu))
 spark.stop()
 """
 
@@ -76,8 +99,9 @@ def measure(
     )
     for line in out.stdout.splitlines():
         if line.startswith("MEASURE"):
-            _, n, dt, pts = line.split()
-            return float(dt), int(pts)
+            f = line.split()
+            # cpu-seconds column added later; old format has 4 fields
+            return float(f[2]), int(f[3]), (float(f[4]) if len(f) > 4 else None)
     raise RuntimeError(f"child failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
@@ -106,6 +130,7 @@ def main() -> None:
 
     cores = [int(c) for c in args.cores.split(",")]
     runs: dict[int, list[float]] = {c: [] for c in cores}
+    cpus: dict[int, list[float]] = {c: [] for c in cores}
     points = None
     # merge with prior samples: the host throttles unpredictably, so min over
     # MANY samples is the only consistent estimator of unthrottled time
@@ -118,14 +143,19 @@ def main() -> None:
         if prior.get("input") == os.path.basename(args.input):
             for c_str, ts in prior.get("wall_s_all", {}).items():
                 runs.setdefault(int(c_str), []).extend(ts)
+            for c_str, ts in prior.get("cpu_s_all", {}).items():
+                cpus.setdefault(int(c_str), []).extend(ts)
             points = prior.get("feature_points")
     for rep in range(args.reps):
         for c in cores:  # interleave configs within each round
-            dt, pts = measure(c, args.input, pin=args.pin,
-                              parts_mult=args.parts_mult)
+            dt, pts, cpu = measure(c, args.input, pin=args.pin,
+                                   parts_mult=args.parts_mult)
             runs[c].append(dt)
+            if cpu is not None:
+                cpus.setdefault(c, []).append(cpu)
             points = pts
-            print(f"round {rep} local[{c}]: {dt:.1f}s ({pts} points)", flush=True)
+            print(f"round {rep} local[{c}]: {dt:.1f}s "
+                  f"(cpu {cpu:.1f}s, {pts} points)", flush=True)
 
     best = {c: min(ts) for c, ts in runs.items() if ts}
     all_cores = sorted(best)
@@ -141,6 +171,12 @@ def main() -> None:
         "feature_points": points,
         "wall_s_all": runs,
         "wall_s_best": best,
+        # total guest CPU-seconds consumed by the measured section (python +
+        # JVM, all threads): if this is ~flat across N while wall shrinks
+        # sublinearly, the engine is work-conserving and the wall gap is
+        # host CPU delivery, not parallel overhead
+        "cpu_s_all": {c: [round(x, 1) for x in v] for c, v in cpus.items() if v},
+        "cpu_s_min": {c: round(min(v), 1) for c, v in cpus.items() if v},
         "points_per_sec": {str(c): round(v, 1) for c, v in pps.items()},
         "efficiency_Nx4": {k: round(v, 3) for k, v in effs.items()},
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
