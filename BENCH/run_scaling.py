@@ -37,7 +37,12 @@ from features_engineering_of_motion_data_spark.sources.transcripts import read_t
 
 n = int(sys.argv[1])
 parts = int(sys.argv[4])
-spark = get_spark(master="local[%d]" % n, shuffle_partitions=parts)
+extra = {}
+if parts != n:
+    # without this, AQE's parallelism-first coalescing folds the multi-wave
+    # layout straight back to ~n partitions and the skew-smoothing is lost
+    extra["spark.sql.adaptive.coalescePartitions.minPartitionNum"] = str(parts)
+spark = get_spark(master="local[%d]" % n, shuffle_partitions=parts, extra_conf=extra)
 
 import os, resource
 def _proc_cpu_s():
