@@ -136,6 +136,7 @@ def main() -> None:
     cores = [int(c) for c in args.cores.split(",")]
     runs: dict[int, list[float]] = {c: [] for c in cores}
     cpus: dict[int, list[float]] = {c: [] for c in cores}
+    samples: list[dict] = []
     points = None
     # merge with prior samples: the host throttles unpredictably, so min over
     # MANY samples is the only consistent estimator of unthrottled time
@@ -150,6 +151,7 @@ def main() -> None:
                 runs.setdefault(int(c_str), []).extend(ts)
             for c_str, ts in prior.get("cpu_s_all", {}).items():
                 cpus.setdefault(int(c_str), []).extend(ts)
+            samples = prior.get("samples", [])
             points = prior.get("feature_points")
     for rep in range(args.reps):
         for c in cores:  # interleave configs within each round
@@ -158,6 +160,8 @@ def main() -> None:
             runs[c].append(dt)
             if cpu is not None:
                 cpus.setdefault(c, []).append(cpu)
+                samples.append({"cores": c, "wall_s": round(dt, 2),
+                                "cpu_s": round(cpu, 1)})
             points = pts
             print(f"round {rep} local[{c}]: {dt:.1f}s "
                   f"(cpu {cpu:.1f}s, {pts} points)", flush=True)
@@ -182,6 +186,7 @@ def main() -> None:
         # host CPU delivery, not parallel overhead
         "cpu_s_all": {c: [round(x, 1) for x in v] for c, v in cpus.items() if v},
         "cpu_s_min": {c: round(min(v), 1) for c, v in cpus.items() if v},
+        "samples": samples,  # (cores, wall, cpu) aligned per measurement
         "points_per_sec": {str(c): round(v, 1) for c, v in pps.items()},
         "efficiency_Nx4": {k: round(v, 3) for k, v in effs.items()},
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
