@@ -174,6 +174,19 @@ def main() -> None:
         for b in all_cores:
             if b == 4 * a:
                 effs[f"{a}->{b}"] = pps[b] / (4 * pps[a])
+    # audited view: only samples with the aligned cpu column — these are
+    # physically self-checking (a pinned N-core run cannot have
+    # wall < cpu/N), which screens out pre-audit artifacts such as a
+    # "1-core" 51.0 s wall against a measured >=57 cpu-s work floor
+    awall = {}
+    for x in samples:
+        awall[x["cores"]] = min(awall.get(x["cores"], float("inf")), x["wall_s"])
+    aeffs = {
+        f"{a}->{b}": round(awall[a] / (4 * awall[b]), 3)
+        for a in sorted(awall)
+        for b in sorted(awall)
+        if b == 4 * a
+    }
     result = {
         "input": os.path.basename(args.input),
         "shuffle_parts_mult": args.parts_mult,
@@ -189,6 +202,8 @@ def main() -> None:
         "samples": samples,  # (cores, wall, cpu) aligned per measurement
         "points_per_sec": {str(c): round(v, 1) for c, v in pps.items()},
         "efficiency_Nx4": {k: round(v, 3) for k, v in effs.items()},
+        "wall_s_best_audited": {str(c): round(v, 2) for c, v in sorted(awall.items())},
+        "efficiency_Nx4_audited": aeffs,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     with open(out_path, "w") as f:
