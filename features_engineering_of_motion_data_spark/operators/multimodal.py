@@ -100,8 +100,14 @@ def _parse_header(payload: bytes):
 
 def _le_int32(col, pos: int):
     """Little-endian int32 at 1-based byte offset ``pos`` of a binary column,
-    decoded JVM-side: hex the 4 bytes, swap the pairs, base-16 parse. Values
-    are header dimensions (non-negative < 2³¹), so unsigned parse is exact."""
+    decoded JVM-side: hex the 4 bytes, swap the pairs, base-16 parse.
+
+    The parse goes through ``long`` (any unsigned 32-bit value fits) and
+    reinterprets the top bit to match ``struct.unpack('<i')``'s *signed*
+    semantics. Casting the conv() result straight to ``int`` is a trap under
+    ANSI mode (Spark 4 default): a corrupt-but-magic-valid header with the
+    sign bit set (>= 2³¹) would throw CAST_INVALID_INPUT and kill the whole
+    job, where this operator's contract is graceful per-row handling."""
     hx = F.hex(F.substring(col, pos, 4))
     le = F.concat(
         F.substring(hx, 7, 2),
@@ -109,7 +115,8 @@ def _le_int32(col, pos: int):
         F.substring(hx, 3, 2),
         F.substring(hx, 1, 2),
     )
-    return F.conv(le, 16, 10).cast("int")
+    v = F.conv(le, 16, 10).cast("long")
+    return F.when(v >= 2**31, v - 2**32).otherwise(v).cast("int")
 
 
 def extract_metadata(media: DataFrame) -> DataFrame:
@@ -186,9 +193,13 @@ def decode_image(media: DataFrame, backend: str = "fake") -> DataFrame:
 
 def sample_frames(meta: DataFrame, every_k: int = 2) -> DataFrame:
     """Frame-sampling plumbing for video objects: one row per kept frame
-    (native sequence+explode; no Python)."""
+    (native sequence+explode; no Python).
+
+    Filters to ``n_frames >= 1`` first: a corrupt-but-magic-valid header can
+    carry a negative frame count, and ``sequence(0, n_frames-1, k)`` with a
+    negative stop raises at runtime rather than yielding an empty array."""
     return (
-        meta.filter(F.col("media_type") == "video")
+        meta.filter((F.col("media_type") == "video") & (F.col("n_frames") >= 1))
         .withColumn(
             "frame_idx",
             F.explode(

@@ -368,28 +368,33 @@ PAIR_BANDS = 16
 PAIR_BAND_BITS = 4
 
 
-def _pair_planes() -> list[list[list[int]]]:
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _pair_planes(
+    bands: int = PAIR_BANDS, band_bits: int = PAIR_BAND_BITS
+) -> tuple:
     import numpy as np
 
     rng = np.random.Generator(np.random.PCG64(987654321))
-    return (
-        rng.integers(0, 2, size=(PAIR_BANDS, PAIR_BAND_BITS, 64)) * 2 - 1
-    ).tolist()
+    planes = (rng.integers(0, 2, size=(bands, band_bits, 64)) * 2 - 1).tolist()
+    return tuple(tuple(tuple(r) for r in band) for band in planes)
 
 
-_PAIR_PLANES = _pair_planes()
-
-
-def _band_keys(qcol) -> F.Column:
-    """array<struct<band,bkey>>: per band, the 4 sign bits of the quantized
-    vector against that band's hyperplanes, packed into one integer key.
-    Pure narrow expressions — signatures need NO shuffle; the only exchanges
-    in the pipeline are the bucket self-join and the candidate verify."""
+def _band_keys(
+    qcol, bands: int = PAIR_BANDS, band_bits: int = PAIR_BAND_BITS
+) -> F.Column:
+    """array<struct<band,bkey>>: per band, the ``band_bits`` sign bits of the
+    quantized vector against that band's hyperplanes, packed into one integer
+    key. Pure narrow expressions — signatures need NO shuffle; the only
+    exchanges in the pipeline are the bucket self-join and candidate verify."""
+    planes = _pair_planes(bands, band_bits)
     entries = []
-    for band in range(PAIR_BANDS):
+    for band in range(bands):
         key = None
-        for r in range(PAIR_BAND_BITS):
-            arr = F.array(*[F.lit(int(v)) for v in _PAIR_PLANES[band][r]])
+        for r in range(band_bits):
+            arr = F.array(*[F.lit(int(v)) for v in planes[band][r]])
             bit = (_dot(qcol, arr) >= 0).cast("long") * F.lit(1 << r)
             key = bit if key is None else key + bit
         entries.append(
@@ -398,7 +403,38 @@ def _band_keys(qcol) -> F.Column:
     return F.array(*entries)
 
 
-def q34_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_candidate_pairs(
+    e: DataFrame, bands: int = PAIR_BANDS, band_bits: int = PAIR_BAND_BITS
+) -> DataFrame:
+    """(vec_a, vec_b) candidate pairs sharing ≥1 (band, key) bucket.
+
+    Exposed separately so bench.py can measure banding *selectivity*
+    (candidates ≪ n²/2) at a production parameterization directly, instead
+    of arguing it from the collision-probability math in q34's docstring."""
+    sig = e.select(
+        "vec_id", F.explode(_band_keys(F.col("q"), bands, band_bits)).alias("bk")
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+def q34_embedding_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COS_THRESHOLD,
+    bands: int = PAIR_BANDS,
+    band_bits: int = PAIR_BAND_BITS,
+) -> DataFrame:
     """Scale path for q30: embedding near-dup PAIRS without the O(n²) join.
 
     Candidates = vectors sharing any (band, 4-bit hyperplane key) bucket;
@@ -417,26 +453,13 @@ def q34_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cos ≥ 0.8 ⇒ p_bit ≈ 0.80, p_band ≈ 0.41, random ≈ 0.06) the same
     16×4 banding passes <7 % of random pairs at >99.97 % recall. The
     fixture (max pair cosine ≈ 0.5) exercises the candidate→verify
-    CORRECTNESS contract; tune PAIR_BAND_BITS/PAIR_BANDS to the deployed
-    threshold."""
+    CORRECTNESS contract; ``threshold``/``bands``/``band_bits`` are the
+    deployment tuning surface — bench.py measures the production regime
+    (threshold=0.8, 8 bands × 8 bits) directly."""
     e = _quantized(_emb(spark, sf_dir)).select(
         "vec_id", "q", _dot(F.col("q"), F.col("q")).alias("nq")
     )
-    sig = e.select("vec_id", F.explode(_band_keys(F.col("q"))).alias("bk")).select(
-        "vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
-    )
-    a = sig.alias("a")
-    b = sig.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(e, bands, band_bits)
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nq").alias("na"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
     pairs = (
@@ -449,14 +472,14 @@ def q34_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= F.lit(COS_THRESHOLD))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("vec_a", "vec_b", "dot_q", "cosine")
     )
 
 
 def _pair_planes_sql() -> str:
     rows = ",\n    ".join(
-        f"({band}, {r}, {list(_PAIR_PLANES[band][r])})"
+        f"({band}, {r}, {list(_pair_planes()[band][r])})"
         for band in range(PAIR_BANDS)
         for r in range(PAIR_BAND_BITS)
     )
@@ -510,33 +533,19 @@ WHERE CAST(d.dot_q AS DOUBLE)
 IVF_NPROBE = 2
 
 
-def q36_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantizer → inverted lists → probe → exact rank.
-
-    The coarse quantizer is the per-label mean in quantized-integer space (a
-    deterministic stand-in for k-means centroids — same inverted-file shape,
-    no iterative training, so the DuckDB oracle can mirror it exactly).
-    Assignment is argmin ||v − s_c/n_c||², evaluated without materializing
-    float centroids: with exact integers dot = v·s_c, ns = ‖s_c‖², n = n_c,
-    the ranking value f = (ns/n − 2·dot)/n is a THREE-step pinned double
-    expression over exact ints (‖v‖² is constant per vector and dropped), so
-    both engines assign identically bit-for-bit. The query probes its
-    IVF_NPROBE nearest centroids; candidates = vectors whose inverted list
-    is probed; final ranking = exact-integer dot → pinned cosine (as q26).
-
-    At scale: centroid table is tiny (L×(64+2) values) → broadcast; the
-    assignment is the standard O(n·L·d) dense scan as one narrow
-    crossJoin+aggregate (no shuffle beyond the final per-vector argmin,
-    which reuses the vec_id partitioning); inverted lists are just an
-    assigned-label column, so the probe is a broadcast semi-join.
-    """
-    e = _quantized(_emb(spark, sf_dir))
-    # per-label integer centroid sufficient stats, packed back to arrays
-    cent = (
-        e.select("label", F.posexplode("q").alias("i", "qi"))
-        .groupBy("label", "i")
+def _centroid_stats(e: DataFrame, label_col: str) -> DataFrame:
+    """Exact-integer centroid sufficient stats (c_label, sv, cn, ns) grouped
+    by ``label_col``: sv = per-dimension Σq (array), cn = member count,
+    ns = ‖sv‖² as decimal(38,0). The square is taken AFTER the decimal cast —
+    (v*v) in LONG overflows once a per-dimension label sum exceeds ~3.04e9
+    (~300k vectors/label at QUANT=10⁴), exactly the at-scale regime; the
+    DuckDB oracle's HUGEINT multiply is the same cast-then-multiply order."""
+    dec = lambda v: v.cast("decimal(38,0)")  # noqa: E731
+    return (
+        e.select(F.col(label_col).alias("c_label"), F.posexplode("q").alias("i", "qi"))
+        .groupBy("c_label", "i")
         .agg(F.sum("qi").alias("s"), F.count(F.lit(1)).alias("cn"))
-        .groupBy("label")
+        .groupBy("c_label")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
@@ -546,13 +555,21 @@ def q36_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "ns",
             F.aggregate(
-                F.transform("sv", lambda v: (v * v).cast("decimal(38,0)")),
+                F.transform("sv", lambda v: dec(v) * dec(v)),
                 F.lit(0).cast("decimal(38,0)"),
                 lambda acc, v: acc + v,
             ),
         )
-        .select(F.col("label").alias("c_label"), "sv", "cn", "ns")
+        .select("c_label", "sv", "cn", "ns")
     )
+
+
+def _ivf_assign(e: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """Rank centroids per vector by the pinned distance surrogate
+    f = (ns/n − 2·v·s)/n (≡ ‖v−s/n‖² − ‖v‖², exact-int inputs, 3 double
+    ops) and keep ranks ≤ ``nprobe``; ties break on c_label."""
+    from pyspark.sql import Window
+
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",
@@ -564,14 +581,49 @@ def q36_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cn").cast("double")
         ).alias("f"),
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("vec_id").orderBy("f", "c_label")
-    assigned = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= IVF_NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("vec_id", "label", "q", "c_label", "rn")
     )
+
+
+def q36_ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = IVF_NPROBE,
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer → inverted lists → probe → exact rank.
+
+    The default coarse quantizer is the per-label mean in quantized-integer
+    space (deterministic, no iterative training, so the DuckDB oracle can
+    mirror it exactly). ``lloyd_iters > 0`` refines it with that many Lloyd
+    iterations ENTIRELY in exact integer space: assignment uses the pinned
+    surrogate f = (ns/n − 2·v·s)/n (‖v‖² is per-vector constant and dropped),
+    new centroids are integer sufficient stats of the assigned vectors, and
+    ties break on c_label — so the trained quantizer is still deterministic
+    and bitwise-reproducible at any parallelism (pytest gates its recall vs
+    the q26 brute force; the driver oracle covers the lloyd_iters=0 default).
+    Empty clusters simply drop out, as in standard Lloyd.
+
+    At scale: centroid table is tiny (L×(64+2) values) → broadcast; each
+    Lloyd pass is the standard O(n·L·d) dense scan as one narrow
+    crossJoin+aggregate; the tiny per-iteration centroid table is
+    materialized eagerly (the same aggregate-to-driver-size step every
+    distributed k-means takes per iteration). Inverted lists are just an
+    assigned-label column, so the probe is a broadcast semi-join.
+    """
+    e = _quantized(_emb(spark, sf_dir))
+    cent = _centroid_stats(e, "label")
+    for _ in range(int(lloyd_iters)):
+        assign1 = _ivf_assign(e, cent, 1).select("vec_id", "c_label")
+        cent = _centroid_stats(
+            e.join(assign1, "vec_id").withColumnRenamed("c_label", "cl"), "cl"
+        )
+        cent = cent.localCheckpoint(eager=True)  # keep the DAG linear per pass
+    assigned = _ivf_assign(e, cent, nprobe)
     probes = (
         assigned.filter(F.col("vec_id") == 0)
         .select(F.col("c_label").alias("probe_label"))

@@ -74,8 +74,17 @@ def _resolve_manifest(path: str, snapshot_id: str | None) -> dict | None:
     )
 
 
-def _commit(path: str, partitions: dict[str, list[int]], parent: str | None) -> str:
-    """Atomically write the next snapshot manifest; returns its snapshot id."""
+def _commit(
+    path: str,
+    partitions: dict[str, list[int]],
+    parent: str | None,
+    expired: list[str] | None = None,
+) -> str:
+    """Atomically write the next snapshot manifest; returns its snapshot id.
+
+    ``expired`` records ``bucket_date`` partitions whose data files this
+    commit physically deleted, so AS-OF reads of *earlier* snapshots can fail
+    with a clear "expired" error instead of a mid-scan path-not-found."""
     seq = len(_snapshot_paths(path))
     listing = []
     for d, commits in sorted(partitions.items()):
@@ -91,6 +100,7 @@ def _commit(path: str, partitions: dict[str, list[int]], parent: str | None) -> 
         "snapshot_id": snap_id,
         "parent_id": parent,
         "partitions": partitions,
+        "expired_partitions": sorted(expired or []),
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
@@ -138,6 +148,21 @@ def read_tier(
     if manifest is None:
         # pre-lineage layout (plain partitioned parquet dir)
         return spark.read.parquet(path)
+    # retention may have physically deleted partitions this snapshot
+    # references: any LATER snapshot's expired_partitions list makes an
+    # AS-OF read of those days unservable — fail clearly, up front
+    gone = {
+        d
+        for s in list_snapshots(path)
+        if s["seq"] > manifest["seq"]
+        for d in s.get("expired_partitions", [])
+    } & set(manifest["partitions"])
+    if gone:
+        raise RuntimeError(
+            f"snapshot {manifest['snapshot_id']} of {path} references "
+            f"partitions expired by a later retention commit: {sorted(gone)}; "
+            "time travel past a retention boundary is not possible"
+        )
     dirs = [
         os.path.join(path, f"commit={c}", f"bucket_date={d}")
         for d, commits in sorted(manifest["partitions"].items())
@@ -145,6 +170,12 @@ def read_tier(
     ]
     if not dirs:
         raise RuntimeError(f"snapshot {manifest['snapshot_id']} of {path} is empty")
+    missing = [d for d in dirs if not os.path.isdir(d)]
+    if missing:
+        raise RuntimeError(
+            f"snapshot {manifest['snapshot_id']} of {path} references "
+            f"missing data dirs (corrupt table?): {missing[:3]}"
+        )
     return spark.read.option("basePath", path).parquet(*dirs).drop("commit")
 
 
@@ -194,5 +225,5 @@ def expire(spark, path: str, older_than) -> int:
             pdir = os.path.join(path, name, f"bucket_date={d}")
             if os.path.isdir(pdir):
                 shutil.rmtree(pdir)
-    _commit(path, keep, manifest["snapshot_id"])
+    _commit(path, keep, manifest["snapshot_id"], expired=expired)
     return len(expired)

@@ -37,6 +37,58 @@ def test_ivf_topk_structure(spark, sf_dir):
     assert (merged["dot_q_b"] == merged["dot_q_i"]).all()
 
 
+def test_ivf_lloyd_refined_centroids(spark, sf_dir):
+    """Lloyd-refined IVF (lloyd_iters>0): still deterministic (two runs are
+    bit-identical — the whole iteration is exact-integer sufficient stats +
+    a pinned assignment expression), common neighbours with brute force carry
+    bit-identical cosines, and recall vs q26 doesn't regress below the
+    label-quantizer baseline."""
+    from features_engineering_of_motion_data_spark.queries.vector import (
+        q26_ann_cosine_topk,
+        q36_ann_ivf_topk,
+    )
+
+    brute = q26_ann_cosine_topk(spark, sf_dir).toPandas()
+    base = q36_ann_ivf_topk(spark, sf_dir).toPandas()
+    ll = q36_ann_ivf_topk(spark, sf_dir, lloyd_iters=2).toPandas()
+    ll2 = q36_ann_ivf_topk(spark, sf_dir, lloyd_iters=2).toPandas()
+    assert ll.equals(ll2)  # deterministic training
+    assert len(ll) == 10
+    merged = brute.merge(ll, on="vec_id", suffixes=("_b", "_i"))
+    assert (merged["cosine_b"] == merged["cosine_i"]).all()
+    recall_base = len(brute.merge(base, on="vec_id"))
+    recall_ll = len(merged)
+    assert recall_ll >= recall_base, (recall_ll, recall_base)
+
+
+def test_lsh_pairs_nondefault_banding(spark, sf_dir):
+    """The q34 tuning surface (threshold/bands/band_bits as arguments): a
+    non-default 8×8 parameterization still yields a subset of the brute-force
+    pairs at its threshold, with bit-identical values on common pairs, and
+    its candidate set is measurably more selective than 16×4's."""
+    from features_engineering_of_motion_data_spark.queries.vector import (
+        _emb,
+        _quantized,
+        lsh_candidate_pairs,
+    )
+
+    thr = 0.45
+    brute = q30_embedding_near_dup(spark, sf_dir).toPandas()
+    brute = brute[brute["cosine"] >= thr]
+    lsh = q34_embedding_lsh_pairs(
+        spark, sf_dir, threshold=thr, bands=8, band_bits=8
+    ).toPandas()
+    assert _pairs(lsh) <= _pairs(brute)
+    merged = brute.merge(lsh, on=["vec_a", "vec_b"], suffixes=("_b", "_l"))
+    assert (merged["cosine_b"] == merged["cosine_l"]).all()
+
+    e = _quantized(_emb(spark, sf_dir)).select("vec_id", "q")
+    n = e.count()
+    cand_88 = lsh_candidate_pairs(e, 8, 8).count()
+    cand_164 = lsh_candidate_pairs(e, 16, 4).count()
+    assert cand_88 < cand_164 < n * (n - 1) / 2
+
+
 def test_lsh_embedding_pairs_subset_and_recall(spark, sf_dir):
     brute = q30_embedding_near_dup(spark, sf_dir).toPandas()
     lsh = q34_embedding_lsh_pairs(spark, sf_dir).toPandas()

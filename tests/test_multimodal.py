@@ -73,18 +73,50 @@ def test_native_le_int32_parse_matches_struct(spark):
     )
 
     rng = np.random.default_rng(7)
+    # full signed int32 range: high-bit (negative under '<i') header fields
+    # are the ANSI-mode trap — conv() yields >= 2**31 and a bare cast("int")
+    # throws CAST_INVALID_INPUT, killing the job on one garbage header
     vals = np.concatenate(
-        [rng.integers(0, 2**31 - 1, size=50), [0, 1, 2**31 - 1]]
+        [
+            rng.integers(-(2**31), 2**31 - 1, size=50),
+            [0, 1, -1, 2**31 - 1, -(2**31)],
+        ]
     )
     payloads = [
-        MAGIC + struct.pack("<biii", int(v) % 3, int(v), int(v) // 2, 1) + b"\x00"
+        MAGIC
+        + struct.pack("<biii", abs(int(v)) % 3, int(v), int(v) // 2, 1)
+        + b"\x00"
         for v in vals
     ]
     pdf = pd.DataFrame({"doc_id": range(len(payloads)), "payload": payloads})
     meta = extract_metadata(spark.createDataFrame(pdf)).toPandas().sort_values("doc_id")
     assert meta["valid"].all()
-    assert meta["width"].tolist() == [int(v) for v in vals]
-    assert meta["height"].tolist() == [int(v) // 2 for v in vals]
+    expect = [struct.unpack("<biii", p[4:17]) for p in payloads]
+    assert meta["width"].tolist() == [e[1] for e in expect]
+    assert meta["height"].tolist() == [e[2] for e in expect]
+
+
+def test_corrupt_video_header_survives_frame_sampling(spark):
+    """A magic-valid payload advertising a negative n_frames must neither
+    crash extract_metadata (ANSI cast) nor sample_frames (sequence() with a
+    negative stop raises) — it just contributes no frames."""
+    import struct
+
+    import pandas as pd
+
+    from features_engineering_of_motion_data_spark.operators.multimodal import (
+        MAGIC,
+    )
+
+    bad = MAGIC + struct.pack("<biii", 2, 8, 8, -7) + b"\x00" * 64
+    good = make_fake_payload(5, "hello", media_type=2, n_frames=3)
+    pdf = pd.DataFrame({"doc_id": [1, 5], "payload": [bad, good]})
+    meta = extract_metadata(spark.createDataFrame(pdf))
+    got = meta.toPandas().set_index("doc_id")
+    assert got.loc[1, "n_frames"] == -7  # struct '<i' signed semantics
+    frames = sample_frames(meta, every_k=2).toPandas()
+    assert sorted(frames["doc_id"].unique()) == [5]
+    assert len(frames) == 2  # ceil(3/2)
 
 
 def test_corrupt_payload_flagged(spark):

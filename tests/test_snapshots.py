@@ -105,3 +105,19 @@ def test_expire_commits_snapshot_and_deletes(spark, feats, tmp_path):
     assert str(cur["bucket_start"].dt.date.min()) >= cutoff
     # expiry is itself a commit in the lineage
     assert len(list_snapshots(out)) == 2
+
+
+def test_asof_read_past_retention_boundary_fails_clearly(spark, feats, tmp_path):
+    """An AS-OF read of a snapshot whose partitions a later retention commit
+    physically deleted must fail up front with a clear 'expired' error, not
+    resolve successfully and then die mid-scan on a missing path (or worse,
+    silently return partial data)."""
+    out = str(tmp_path / "tier_1d")
+    snap1 = write_tier(feats, out)
+    days = sorted(_pdf(feats)["bucket_start"].dt.date.unique())
+    expire(spark, out, days[1].isoformat())
+
+    with pytest.raises(RuntimeError, match="expired by a later retention"):
+        read_tier(spark, out, snapshot_id=snap1)
+    # the post-expiry snapshot still reads fine
+    assert read_tier(spark, out).count() > 0
