@@ -119,6 +119,22 @@ def main() -> None:
         "q28_minhash_lsh_pairs",
         "q34_embedding_lsh_pairs",
     )
+    # q34 at the PRODUCTION parameterization (cos >= 0.8, 8 bands x 8 bits):
+    # the fixture default (cos >= 0.4, 16x4) is banding's worst regime and
+    # exists for the correctness contract; this entry measures the
+    # selectivity the q34 docstring claims for deployed thresholds. q36 =
+    # the IVF ANN scale path.
+    from features_engineering_of_motion_data_spark.queries.vector import (
+        q34_embedding_lsh_pairs,
+        q36_ann_ivf_topk,
+    )
+
+    extra = {
+        "q34_lsh_pairs_cos08": lambda s, d: q34_embedding_lsh_pairs(
+            s, d, threshold=0.8, bands=8, band_bits=8
+        ),
+        "q36_ann_ivf_topk": q36_ann_ivf_topk,
+    }
     for _ in range(2):  # interleaved min-of-2 (same throttle-noise rationale)
         for name in names:
             t0 = time.perf_counter()
@@ -126,6 +142,29 @@ def main() -> None:
             timings[name] = min(
                 timings.get(name, float("inf")), time.perf_counter() - t0
             )
+        for name, fn in extra.items():
+            t0 = time.perf_counter()
+            points[name] = _force(fn(spark, SF_DIR))
+            timings[name] = min(
+                timings.get(name, float("inf")), time.perf_counter() - t0
+            )
+
+    # measured banding selectivity (candidates <= n(n-1)/2), both regimes —
+    # the at-scale argument for q34 as a number, not a derivation
+    from features_engineering_of_motion_data_spark.queries.vector import (
+        _emb,
+        _quantized,
+        lsh_candidate_pairs,
+    )
+
+    e = _quantized(_emb(spark, SF_DIR)).select("vec_id", "q")
+    n_vec = e.count()
+    lsh_candidates = {
+        "n_vectors": n_vec,
+        "all_pairs": n_vec * (n_vec - 1) // 2,
+        "cand_16x4_fixture": _force(lsh_candidate_pairs(e, 16, 4)),
+        "cand_8x8_production": _force(lsh_candidate_pairs(e, 8, 8)),
+    }
 
     total = sum(timings.values())
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -138,6 +177,7 @@ def main() -> None:
         "cpus": CPUS,
         "bench_scale": SCALE,
         "feature_points": points,
+        "lsh_candidates": lsh_candidates,
         "points_per_sec": {
             t: round(points[t] / timings[t], 1)
             for t in ("rollup_1m", "rollup_1h", "rollup_1d")

@@ -47,16 +47,32 @@ _STATE_SCHEMA = T.StructType(
 
 
 def stream_tier_1m(turns: DataFrame, watermark: str = "10 minutes") -> DataFrame:
-    """Streaming 1m-tier sufficient stats for the row-local channels."""
+    """Streaming 1m-tier sufficient stats for the row-local channels.
+
+    Emits the FULL sufficient-statistics contract (operators/features.py
+    STAT_COLS), so a finalized streamed bucket feeds straight into the batch
+    merge algebra — ``rollup_merge(streamed_1m, "1h")`` — closing the
+    streaming→batch cascade handoff (tested bit-exact in
+    tests/test_streaming.py). ``zc`` is the literal 0: both row-local
+    channels are non-negative (text length; tool-call indicator) and the
+    engine's sign convention (sign(0)=+1, DESIGN.md §3) admits no crossing
+    between non-negative values — identically what the batch pair-scan
+    computes. first/last travel by ``min_by``/``max_by`` on turn_idx exactly
+    as in the batch aggregation.
+    """
     base = turns.withWatermark("ts", watermark).select(
         "conv_id",
         "ts",
+        "turn_idx",
+        F.unix_micros("ts").alias("ts_us"),
         F.length("text").cast("long").alias("text_len"),
         F.col("tool").isNotNull().cast("long").alias("tool_cadence"),
     )
     melted = base.selectExpr(
         "conv_id",
         "ts",
+        "turn_idx",
+        "ts_us",
         "stack(2, 'text_len', text_len, 'tool_cadence', tool_cadence)"
         " as (channel, x)",
     ).filter(F.col("x").isNotNull())
@@ -69,6 +85,10 @@ def stream_tier_1m(turns: DataFrame, watermark: str = "10 minutes") -> DataFrame
             F.sum(x_dec * x_dec).cast("decimal(38,0)").alias("s2"),
             F.min("x").alias("min_raw"),
             F.max("x").alias("max_raw"),
+            F.min_by("ts_us", "turn_idx").alias("first_ts_us"),
+            F.max_by("ts_us", "turn_idx").alias("last_ts_us"),
+            F.min_by("x", "turn_idx").alias("first_val"),
+            F.max_by("x", "turn_idx").alias("last_val"),
         )
         .select(
             "conv_id",
@@ -79,6 +99,11 @@ def stream_tier_1m(turns: DataFrame, watermark: str = "10 minutes") -> DataFrame
             "s2",
             "min_raw",
             "max_raw",
+            F.lit(0).cast("long").alias("zc"),
+            "first_ts_us",
+            "last_ts_us",
+            "first_val",
+            "last_val",
         )
     )
 

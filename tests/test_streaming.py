@@ -80,6 +80,50 @@ def test_stream_tier_matches_batch(spark, stream_input):
     assert [int(v) for v in got["s2"]] == [int(v) for v in want["s2"]]
 
 
+def test_streamed_1m_feeds_batch_cascade(spark, stream_input):
+    """The streaming→batch handoff the module docstring promises: the
+    streamed 1m stats table, pushed through the BATCH merge algebra
+    (rollup_merge → 1h), equals the all-batch 1h tier bit-for-bit for the
+    row-local channels."""
+    import shutil
+
+    from features_engineering_of_motion_data_spark.operators.rollup import (
+        rollup_merge,
+    )
+
+    shutil.rmtree("/tmp/ckpt_t1m_cas", ignore_errors=True)
+    turns = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_input)
+    streamed_1m = _run_stream(
+        spark, stream_tier_1m(turns, watermark="0 seconds"), "t1m_cas",
+        mode="complete"
+    )
+    got = (
+        rollup_merge(streamed_1m, "1h")
+        .toPandas()
+        .sort_values(["conv_id", "channel", "bucket_us"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    batch_1h = rollup_merge(
+        aggregate_tier(
+            derive_channels(dedup_turns(spark.read.parquet(stream_input))), "1m"
+        ),
+        "1h",
+    )
+    want = (
+        batch_1h.filter(F.col("channel") != "inter_turn_latency")
+        .toPandas()
+        .sort_values(["conv_id", "channel", "bucket_us"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert list(got.columns) == list(want.columns)
+    for c in want.columns:
+        if c == "s2":
+            assert [int(v) for v in got[c]] == [int(v) for v in want[c]], c
+        else:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
 def test_stream_latency_stateful(spark, stream_input):
     import shutil
 
