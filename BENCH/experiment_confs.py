@@ -20,15 +20,11 @@ from run_scaling import CHILD, REPO  # noqa: E402
 
 VARIANTS = {
     "baseline": {},
-    "scan16m": {"spark.sql.files.maxPartitionBytes": "16m"},
     "noaqe": {"spark.sql.adaptive.enabled": "false"},
-    "nocompress": {
-        "spark.shuffle.compress": "false",
-        "spark.shuffle.spill.compress": "false",
-    },
-    "scan16m+noaqe": {
-        "spark.sql.files.maxPartitionBytes": "16m",
+    "serialgc": {"spark.driver.extraJavaOptions": "-XX:+UseSerialGC"},
+    "noaqe+serialgc": {
         "spark.sql.adaptive.enabled": "false",
+        "spark.driver.extraJavaOptions": "-XX:+UseSerialGC",
     },
 }
 
@@ -49,20 +45,21 @@ def run(cores: int, conf: dict) -> tuple[float, float]:
 
 
 def main() -> None:
-    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    core_list = [int(c) for c in (sys.argv[1] if len(sys.argv) > 1 else "4").split(",")]
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    results: dict[str, list] = {k: [] for k in VARIANTS}
+    results: dict[tuple, list] = {(k, c): [] for k in VARIANTS for c in core_list}
     for rep in range(reps):
         for name, conf in VARIANTS.items():
-            wall, cpu = run(cores, conf)
-            results[name].append((wall, cpu))
-            print(f"rep {rep} {name}: wall {wall:.2f}s cpu {cpu:.1f}s",
-                  flush=True)
-    print("\n== best per variant ==")
-    for name, rs in results.items():
+            for cores in core_list:
+                wall, cpu = run(cores, conf)
+                results[(name, cores)].append((wall, cpu))
+                print(f"rep {rep} {name} local[{cores}]: wall {wall:.2f}s "
+                      f"cpu {cpu:.1f}s", flush=True)
+    print("\n== best per (variant, cores) ==")
+    for (name, cores), rs in results.items():
         w = min(r[0] for r in rs)
         c = min(r[1] for r in rs)
-        print(f"{name:16s} wall {w:6.2f}s  cpu {c:6.1f}s  "
+        print(f"{name:16s} local[{cores}]  wall {w:6.2f}s  cpu {c:6.1f}s  "
               f"floor {c / cores:5.2f}s")
 
 

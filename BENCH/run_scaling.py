@@ -141,6 +141,10 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--pin", action="store_true",
                     help="taskset-pin each child JVM to its core budget")
+    ap.add_argument("--conf-tag", default=None,
+                    help="suffix for the record file when SPARK_GRAFT_EXTRA_CONF "
+                         "carries a config variant (keeps per-config sample "
+                         "pools separate; the conf is stored in the JSON)")
     ap.add_argument("--wait-idle", type=float, default=None, metavar="LOAD",
                     help="before each sample, wait for 1-min loadavg < LOAD "
                          "(lets a background accumulation loop grab quiet "
@@ -172,6 +176,8 @@ def main() -> None:
     base = "scaling_pinned" if args.pin else "scaling"
     if args.parts_mult != 1:
         base += f"_p{args.parts_mult}"
+    if args.conf_tag:
+        base += f"_{args.conf_tag}"
     out_path = os.path.join(REPO, "BENCH", base + ".json")
     if os.path.exists(out_path):
         prior = json.load(open(out_path))
@@ -229,6 +235,7 @@ def main() -> None:
     }
     result = {
         "input": os.path.basename(args.input),
+        "extra_conf": json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}")),
         "shuffle_parts_mult": args.parts_mult,
         "feature_points": points,
         "wall_s_all": runs,

@@ -477,16 +477,27 @@ def q34_embedding_lsh_pairs(
     )
 
 
-def _pair_planes_sql() -> str:
+def _pair_planes_sql(
+    bands: int = PAIR_BANDS, band_bits: int = PAIR_BAND_BITS
+) -> str:
+    planes = _pair_planes(bands, band_bits)
     rows = ",\n    ".join(
-        f"({band}, {r}, {list(_pair_planes()[band][r])})"
-        for band in range(PAIR_BANDS)
-        for r in range(PAIR_BAND_BITS)
+        f"({band}, {r}, {list(planes[band][r])})"
+        for band in range(bands)
+        for r in range(band_bits)
     )
     return f"(VALUES\n    {rows}) AS planes(band, r, vec)"
 
 
-_Q34_SQL = f"""
+def _q34_sql(
+    threshold: float = COS_THRESHOLD,
+    bands: int = PAIR_BANDS,
+    band_bits: int = PAIR_BAND_BITS,
+) -> str:
+    """DuckDB mirror of q34 at any banding parameterization — the literal
+    hyperplanes are regenerated for (bands, band_bits) on both sides, so the
+    tuned variant (q37) is driver-checked with a full SQL oracle too."""
+    return f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -501,7 +512,7 @@ WITH q AS (
              SELECT SUM(q.qv[i] * planes.vec[i])
              FROM UNNEST(range(1, 65)) AS t(i)
            ) >= 0 THEN 1 << planes.r ELSE 0 END) AS BIGINT) AS bkey
-  FROM q, {_pair_planes_sql()}
+  FROM q, {_pair_planes_sql(bands, band_bits)}
   GROUP BY 1, 2
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -524,8 +535,36 @@ JOIN norms na ON na.vec_id = d.vec_a
 JOIN norms nb ON nb.vec_id = d.vec_b
 WHERE CAST(d.dot_q AS DOUBLE)
       / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)))
-      >= {COS_THRESHOLD}
+      >= {threshold}
 """
+
+
+_Q34_SQL = _q34_sql()
+
+# production-tuned LSH variant (q37): higher-selectivity 8x8 banding at a
+# tighter threshold; same plan shape, driver-checked with its own oracle
+TUNED_THRESHOLD = 0.45
+TUNED_BANDS = 8
+TUNED_BAND_BITS = 8
+
+
+def q37_embedding_lsh_pairs_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q34 at the production-style tuning (threshold 0.45, 8 bands x 8 bits):
+    exercises the banding parameter surface end-to-end against a regenerated
+    SQL oracle — candidates are ~20x more selective than the fixture default
+    (measured in bench.py lsh_candidates) and the exact-verify step makes the
+    output deterministic regardless of banding recall."""
+    return q34_embedding_lsh_pairs(
+        spark,
+        sf_dir,
+        threshold=TUNED_THRESHOLD,
+        bands=TUNED_BANDS,
+        band_bits=TUNED_BAND_BITS,
+    )
+
+
+_Q37_SQL = _q34_sql(TUNED_THRESHOLD, TUNED_BANDS, TUNED_BAND_BITS)
+
 
 
 # --- q36: IVF-bucketed ANN (coarse quantizer + probe, the other scale path) --
@@ -722,6 +761,7 @@ QUERIES = {
     "q31_ann_lsh_topk": q31_ann_lsh_topk,
     "q34_embedding_lsh_pairs": q34_embedding_lsh_pairs,
     "q36_ann_ivf_topk": q36_ann_ivf_topk,
+    "q37_embedding_lsh_pairs_tuned": q37_embedding_lsh_pairs_tuned,
 }
 
 ORACLE_SQL = {
@@ -734,4 +774,5 @@ ORACLE_SQL = {
     "q31_ann_lsh_topk": _Q31_SQL,
     "q34_embedding_lsh_pairs": _Q34_SQL,
     "q36_ann_ivf_topk": _Q36_SQL,
+    "q37_embedding_lsh_pairs_tuned": _Q37_SQL,
 }
