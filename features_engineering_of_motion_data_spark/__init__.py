@@ -42,5 +42,9 @@ from .sources.sinks import expire, list_snapshots, read_tier, write_tier  # noqa
 from .sources.transcripts import read_transcripts, resolve_snapshot  # noqa: E402,F401
 from .operators.archive import build_archive, decode_archive  # noqa: E402,F401
 from .operators.gapfill import gapfill_features, gapfill_series  # noqa: E402,F401
+from .operators.incremental import (  # noqa: E402,F401
+    incremental_cascade,
+    merge_partial_stats,
+)
 from .operators.metrics import tier_metrics  # noqa: E402,F401
 from .operators.sliding import sliding_features  # noqa: E402,F401
