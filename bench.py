@@ -105,6 +105,45 @@ def main() -> None:
         stats_1m.unpersist()
         stats_1h.unpersist()
 
+    # --- incremental refresh (append-only continuous aggregate) --------------
+    # setup outside timing: 99/1 split per conv, old finest-tier stats
+    # persisted (the state a production deployment already has on disk);
+    # timed: delta aggregation + partial merge + full cascade re-derivation.
+    from pyspark.sql import Window
+
+    from features_engineering_of_motion_data_spark.operators.incremental import (
+        delta_tier_stats,
+        merge_partial_stats,
+    )
+    from features_engineering_of_motion_data_spark.operators.rollup import (
+        cascade_from_stats,
+    )
+
+    w = Window.partitionBy("conv_id")
+    tagged = turns.withColumn(
+        "_d", F.col("turn_idx") > (F.max("turn_idx").over(w) * 0.99).cast("int")
+    )
+    old_1m = aggregate_tier(
+        derive_channels(dedup_turns(tagged.filter(~F.col("_d")).drop("_d"))), "1m"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _force(old_1m)
+    delta = tagged.filter(F.col("_d")).drop("_d").persist(StorageLevel.MEMORY_AND_DISK)
+    delta_rows = delta.count()
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        merged = merge_partial_stats(
+            old_1m, delta_tier_stats(old_1m, delta, "1m")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        inc = cascade_from_stats(merged, ("1m", "1h", "1d"))
+        points["refresh_1pct"] = sum(_force(df) for df in inc.values())
+        timings["refresh_1pct"] = min(
+            timings.get("refresh_1pct", float("inf")), time.perf_counter() - t0
+        )
+        merged.unpersist()
+    points["refresh_1pct_delta_rows"] = delta_rows
+    old_1m.unpersist()
+    delta.unpersist()
+
     # --- representative fixture queries at SF_DIR ----------------------------
     import __spark_entry__ as entrymod
 
