@@ -29,12 +29,11 @@ TRANSCRIPT_SCHEMA = T.StructType(
 )
 
 
-def resolve_snapshot(path: str) -> str:
-    """Deterministic snapshot id for a local parquet path (file or dir).
-
-    Production: return Iceberg's current snapshot-id instead; everything
-    downstream (checkpoint lineage, resume guard) treats it as an opaque str.
-    """
+def snapshot_manifest(path: str) -> list[str]:
+    """File-level manifest of a local parquet path: sorted
+    ``relpath:size:mtime`` entries. The sandbox stand-in for an Iceberg
+    snapshot's data-file list; :func:`read_transcripts_delta` diffs two of
+    these the way Iceberg's incremental scan diffs two snapshots."""
     entries = []
     if os.path.isdir(path):
         for root, _dirs, files in os.walk(path):
@@ -46,8 +45,48 @@ def resolve_snapshot(path: str) -> str:
     else:
         st = os.stat(path)
         entries.append(f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}")
-    h = hashlib.sha256("\n".join(entries).encode()).hexdigest()
+    return sorted(entries)
+
+
+def resolve_snapshot(path: str) -> str:
+    """Deterministic snapshot id for a local parquet path (file or dir).
+
+    Production: return Iceberg's current snapshot-id instead; everything
+    downstream (checkpoint lineage, resume guard) treats it as an opaque str.
+    """
+    h = hashlib.sha256("\n".join(snapshot_manifest(path)).encode()).hexdigest()
     return h[:16]
+
+
+def read_transcripts_delta(
+    spark: SparkSession, path: str, prior_entries: list[str]
+) -> DataFrame:
+    """Incremental scan: only the data files added since ``prior_entries``
+    (a :func:`snapshot_manifest` from the previously processed snapshot) —
+    the Iceberg ``incremental read between snapshots`` analogue.
+
+    Raises if any prior file was modified or removed (the table history is
+    not append-only between the two snapshots; callers must fall back to a
+    full recompute — same failure mode as an Iceberg overwrite/rewrite
+    snapshot in an incremental-append reader).
+    """
+    current = snapshot_manifest(path)
+    missing = sorted(set(prior_entries) - set(current))
+    if missing:
+        raise RuntimeError(
+            f"input {path} is not an append of the prior snapshot: "
+            f"{len(missing)} file(s) changed or vanished, e.g. {missing[:3]}; "
+            "run a full (non-incremental) rollup"
+        )
+    prior_set = set(prior_entries)
+    new_files = [
+        os.path.join(path, e.rsplit(":", 2)[0]) if os.path.isdir(path) else path
+        for e in current
+        if e not in prior_set
+    ]
+    if not new_files:
+        return spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(*new_files)
 
 
 def read_transcripts(
