@@ -38,7 +38,13 @@ from .operators.features import (  # noqa: E402,F401
     finalize_features,
 )
 from .operators.rollup import cascade, rollup_merge  # noqa: E402,F401
-from .sources.sinks import expire, list_snapshots, read_tier, write_tier  # noqa: E402,F401
+from .sources.sinks import (  # noqa: E402,F401
+    compact,
+    expire,
+    list_snapshots,
+    read_tier,
+    write_tier,
+)
 from .sources.transcripts import read_transcripts, resolve_snapshot  # noqa: E402,F401
 from .operators.archive import build_archive, decode_archive  # noqa: E402,F401
 from .operators.gapfill import gapfill_features, gapfill_series  # noqa: E402,F401

@@ -514,6 +514,128 @@ FROM s GROUP BY 1
 """
 
 
+# --- q38: tier-level gap-fill with linear interpolation (G1/G2, driver face) -
+
+
+def q38_gapfill_linear_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate gap-fill: densify each conversation's 1h bucket
+    grid between its first and last observed bucket and fill missing buckets'
+    mean by linear interpolation between the neighboring observed means
+    (TimescaleDB ``time_bucket_gapfill``+``interpolate`` semantics; the
+    tier-table face of operators/gapfill.py, whose kernel fills raw series —
+    here the SAME no-extrapolation rule holds by construction because the
+    grid spans exactly the observed range).
+
+    Exactness bridge: observed means derive from exact cent BIGINTs via the
+    pinned ``(s1/n)/100.0`` sequence; the interpolation
+    ``x0 + (x1-x0) * ((t-t0)/(t1-t0))`` is the identical IEEE-754 double op
+    order on both engines over exact integer inputs, so even filled doubles
+    match DuckDB bitwise.
+
+    Scale shape: the grid is ``sequence()`` per conversation — output rows
+    bounded by (observed span / bucket width) per conv, no shuffle beyond
+    the one hash agg + one window partitioned on the same key.
+    """
+    s = (
+        _base(spark, sf_dir)
+        .groupBy("user_id", _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s1"))
+    )
+    rng = s.groupBy("user_id").agg(
+        F.min("bucket_us").alias("b0"), F.max("bucket_us").alias("b1")
+    )
+    grid = rng.select(
+        "user_id",
+        F.explode(F.sequence("b0", "b1", F.lit(HOUR_US))).alias("bucket_us"),
+    )
+    j = grid.join(s, ["user_id", "bucket_us"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_us")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    x_obs = F.when(
+        F.col("n").isNotNull(),
+        (F.col("s1").cast("double") / F.col("n").cast("double")) / F.lit(100.0),
+    )
+    t_obs = F.when(F.col("n").isNotNull(), F.col("bucket_us"))
+    d = j.select(
+        "user_id",
+        "bucket_us",
+        "n",
+        x_obs.alias("x_obs"),
+        F.last(t_obs, ignorenulls=True).over(wp).alias("t0"),
+        F.last(x_obs, ignorenulls=True).over(wp).alias("x0"),
+        F.first(t_obs, ignorenulls=True).over(wn).alias("t1"),
+        F.first(x_obs, ignorenulls=True).over(wn).alias("x1"),
+    )
+    frac = (F.col("bucket_us") - F.col("t0")).cast("double") / (
+        F.col("t1") - F.col("t0")
+    ).cast("double")
+    x = F.when(F.col("n").isNotNull(), F.col("x_obs")).otherwise(
+        F.col("x0") + (F.col("x1") - F.col("x0")) * frac
+    )
+    return d.select(
+        F.col("user_id").alias("conv_id"),
+        "bucket_us",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.col("n").isNull().cast("int").alias("is_filled"),
+        x.alias("x_mean"),
+    )
+
+
+_Q38_SQL = f"""
+WITH c AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS bucket_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), s AS (
+  SELECT user_id, bucket_us, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s1
+  FROM c GROUP BY 1, 2
+), rng AS (
+  SELECT user_id, MIN(bucket_us) AS b0, MAX(bucket_us) AS b1 FROM s GROUP BY 1
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(b0, b1, {HOUR_US})) AS bucket_us
+  FROM rng
+), j AS (
+  SELECT g.user_id, g.bucket_us, s.n, s.s1
+  FROM grid g LEFT JOIN s ON s.user_id = g.user_id AND s.bucket_us = g.bucket_us
+), w AS (
+  SELECT user_id, bucket_us, n,
+         CASE WHEN n IS NOT NULL
+              THEN (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 END AS x_obs,
+         last_value(CASE WHEN n IS NOT NULL THEN bucket_us END IGNORE NULLS)
+           OVER wp AS t0,
+         last_value(CASE WHEN n IS NOT NULL
+              THEN (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 END IGNORE NULLS)
+           OVER wp AS x0,
+         first_value(CASE WHEN n IS NOT NULL THEN bucket_us END IGNORE NULLS)
+           OVER wn AS t1,
+         first_value(CASE WHEN n IS NOT NULL
+              THEN (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 END IGNORE NULLS)
+           OVER wn AS x1
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY bucket_us ROWS UNBOUNDED PRECEDING),
+         wn AS (PARTITION BY user_id ORDER BY bucket_us
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id AS conv_id, bucket_us,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n,
+       CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INT) AS is_filled,
+       CASE WHEN n IS NOT NULL THEN x_obs
+            ELSE x0 + (x1 - x0) * (CAST(bucket_us - t0 AS DOUBLE)
+                                   / CAST(t1 - t0 AS DOUBLE)) END AS x_mean
+FROM w
+"""
+
+
 QUERIES = {
     "q01_tier_features_1h": q01_tier_features_1h,
     "q02_zero_crossings_1d": q02_zero_crossings_1d,
@@ -527,6 +649,7 @@ QUERIES = {
     "q10_rollup_event_types": q10_rollup_event_types,
     "q19_rolling_features": q19_rolling_features,
     "q35_tier_ops_metrics": q35_tier_ops_metrics,
+    "q38_gapfill_linear_1h": q38_gapfill_linear_1h,
 }
 
 ORACLE_SQL = {
@@ -542,4 +665,5 @@ ORACLE_SQL = {
     "q10_rollup_event_types": _Q10_SQL,
     "q19_rolling_features": _Q19_SQL,
     "q35_tier_ops_metrics": _Q35_SQL,
+    "q38_gapfill_linear_1h": _Q38_SQL,
 }

@@ -179,6 +179,79 @@ def read_tier(
     return spark.read.option("basePath", path).parquet(*dirs).drop("commit")
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    max_records_per_file: int | None = None,
+) -> str | None:
+    """Small-file compaction (Iceberg ``rewrite_data_files`` analogue).
+
+    Incremental refresh runs append-mode commits, so at deployment cadence a
+    hot ``bucket_date`` partition accumulates one small file per refresh —
+    the classic small-file problem that degrades scan parallelism and
+    planning at 10¹²-turn scale.  ``compact`` rewrites every partition whose
+    live data is fragmented (owned by >1 commit, or >1 file within its one
+    commit) into a fresh single-commit layout and commits a snapshot pointing
+    those partitions at the rewrite.  Readers see a pure metadata swap: the
+    row set is unchanged (bit-for-bit — no column is touched), and prior
+    snapshots still time-travel to the original files, which stay on disk
+    until :func:`expire` removes their partitions.
+
+    Scale shape: ONE Spark job — the fragmented partitions are read with
+    partition pruning, shuffled once by ``bucket_date`` (so each output
+    partition is written by one task), and written back with
+    ``partitionBy``; there is no per-partition driver loop.  File sizing
+    within a partition delegates to ``max_records_per_file`` (the
+    row-granularity stand-in for Iceberg's byte-based bin-packing target).
+
+    Returns the new snapshot id, or ``None`` when nothing is fragmented.
+    """
+    manifest = _resolve_manifest(path, None)
+    if manifest is None:
+        return None  # pre-lineage layout: nothing to commit against
+
+    def _files(d: str, commits: list[int]) -> list[str]:
+        out = []
+        for c in commits:
+            pdir = os.path.join(path, f"commit={c}", f"bucket_date={d}")
+            if os.path.isdir(pdir):
+                out += [
+                    os.path.join(pdir, f)
+                    for f in os.listdir(pdir)
+                    if f.endswith(".parquet")
+                ]
+        return out
+
+    frag = {
+        d: commits
+        for d, commits in manifest["partitions"].items()
+        if len(commits) > 1 or len(_files(d, commits)) > 1
+    }
+    if not frag:
+        return None
+
+    seq = manifest["seq"] + 1
+    dest = os.path.join(path, f"commit={seq}")
+    dirs = [
+        os.path.join(path, f"commit={c}", f"bucket_date={d}")
+        for d, commits in sorted(frag.items())
+        for c in commits
+    ]
+    df = spark.read.option("basePath", path).parquet(*dirs).drop("commit")
+    writer = df.repartition("bucket_date").write.mode("overwrite").partitionBy(
+        "bucket_date"
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(dest)
+
+    partitions = {
+        d: ([seq] if d in frag else commits)
+        for d, commits in manifest["partitions"].items()
+    }
+    return _commit(path, partitions, manifest["snapshot_id"])
+
+
 def expire(spark, path: str, older_than) -> int:
     """Retention enforcement (R4): drop partitions older than a cutoff.
 

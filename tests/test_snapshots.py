@@ -15,6 +15,7 @@ from features_engineering_of_motion_data_spark.operators.features import (
     features_from_turns,
 )
 from features_engineering_of_motion_data_spark.sources.sinks import (
+    compact,
     expire,
     list_snapshots,
     read_tier,
@@ -105,6 +106,57 @@ def test_expire_commits_snapshot_and_deletes(spark, feats, tmp_path):
     assert str(cur["bucket_start"].dt.date.min()) >= cutoff
     # expiry is itself a commit in the lineage
     assert len(list_snapshots(out)) == 2
+
+
+def test_compact_merges_fragmented_partitions(spark, feats, tmp_path):
+    """Append-mode refreshes fragment partitions across commits; compact()
+    must rewrite them into one commit with identical rows (bit-for-bit),
+    keep time travel to pre-compaction snapshots, and be a no-op when the
+    table is already compact."""
+    import os
+
+    out = str(tmp_path / "tier_1d")
+    write_tier(feats, out)
+    write_tier(feats, out, mode="append")
+    snap_pre = write_tier(feats, out, mode="append")
+    pre = _pdf(read_tier(spark, out).drop("bucket_date"))
+
+    def live_files():
+        m = list_snapshots(out)[-1]
+        return [
+            os.path.join(out, f"commit={c}", f"bucket_date={d}", f)
+            for d, commits in m["partitions"].items()
+            for c in commits
+            for f in os.listdir(os.path.join(out, f"commit={c}", f"bucket_date={d}"))
+            if f.endswith(".parquet")
+        ]
+
+    n_files_pre = len(live_files())
+    sid = compact(spark, out)
+    assert sid is not None and sid != snap_pre
+
+    # identical row set, one commit per partition, fewer live files
+    post = _pdf(read_tier(spark, out).drop("bucket_date"))
+    pd.testing.assert_frame_equal(post, pre, check_exact=True)
+    m = list_snapshots(out)[-1]
+    assert all(len(commits) == 1 for commits in m["partitions"].values())
+    assert len(live_files()) < n_files_pre
+
+    # pre-compaction snapshot still time-travels to the original files
+    old = _pdf(read_tier(spark, out, snapshot_id=snap_pre).drop("bucket_date"))
+    pd.testing.assert_frame_equal(old, pre, check_exact=True)
+
+    # already-compact table: no-op, no new snapshot
+    n_snaps = len(list_snapshots(out))
+    assert compact(spark, out) is None
+    assert len(list_snapshots(out)) == n_snaps
+
+    # retention still works on the compacted layout
+    days = sorted(pre["bucket_start"].dt.date.unique())
+    assert expire(spark, out, days[1].isoformat()) == 1
+    assert str(
+        _pdf(read_tier(spark, out))["bucket_start"].dt.date.min()
+    ) >= days[1].isoformat()
 
 
 def test_asof_read_past_retention_boundary_fails_clearly(spark, feats, tmp_path):
