@@ -157,6 +157,7 @@ def main() -> None:
         "q26_ann_cosine_topk",
         "q28_minhash_lsh_pairs",
         "q34_embedding_lsh_pairs",
+        "q38_gapfill_linear_1h",
     )
     # q34 at the PRODUCTION parameterization (cos >= 0.8, 8 bands x 8 bits):
     # the fixture default (cos >= 0.4, 16x4) is banding's worst regime and

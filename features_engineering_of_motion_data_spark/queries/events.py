@@ -636,6 +636,132 @@ FROM w
 """
 
 
+# --- q39: OHLC downsample (first/last/min/max per bucket) --------------------
+
+
+def q39_downsample_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick/monitoring downsample: per (conv, 1h bucket) the open
+    (first by ts), close (last by ts), low, high, and count — the standard
+    lossy downsample of every timeseries store's retention path, here kept
+    fully exact (cent BIGINTs; first/last resolved by the deterministic
+    (ts, event_id) order both engines share).
+
+    Scale shape: two row_number windows + one hash agg, all partitioned on
+    the same (conv, bucket) key — a single shuffle end-to-end.
+    """
+    d = _base(spark, sf_dir).withColumn(
+        "bucket_us", _bucket(F.col("ts_us"), HOUR_US)
+    )
+    wa = Window.partitionBy("user_id", "bucket_us").orderBy(
+        F.asc("ts_us"), F.asc("event_id")
+    )
+    wd = Window.partitionBy("user_id", "bucket_us").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    d = d.withColumn("rna", F.row_number().over(wa)).withColumn(
+        "rnd", F.row_number().over(wd)
+    )
+    return d.groupBy(
+        F.col("user_id").alias("conv_id"), "bucket_us"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("rna") == 1, F.col("c"))).alias("open_cents"),
+        F.max(F.when(F.col("rnd") == 1, F.col("c"))).alias("close_cents"),
+        F.min("c").alias("low_cents"),
+        F.max("c").alias("high_cents"),
+    )
+
+
+_Q39_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS bucket_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), r AS (
+  SELECT user_id, bucket_us, c,
+         row_number() OVER (PARTITION BY user_id, bucket_us
+                            ORDER BY ts_us ASC, event_id ASC) AS rna,
+         row_number() OVER (PARTITION BY user_id, bucket_us
+                            ORDER BY ts_us DESC, event_id DESC) AS rnd
+  FROM c
+)
+SELECT user_id AS conv_id, bucket_us,
+       COUNT(*) AS n,
+       MAX(CASE WHEN rna = 1 THEN c END) AS open_cents,
+       MAX(CASE WHEN rnd = 1 THEN c END) AS close_cents,
+       MIN(c) AS low_cents,
+       MAX(c) AS high_cents
+FROM r GROUP BY 1, 2
+"""
+
+
+# --- q40: counter increase with reset detection (PromQL increase()) ----------
+
+
+def q40_counter_increase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter semantics over an arbitrary series: per (conv, 1h
+    bucket), the summed positive deltas between consecutive samples whose
+    pair lies inside the bucket (same pair-in-bucket convention as q02's
+    zero-crossings), treating a drop as a counter reset — the reset
+    contributes the post-reset value, exactly PromQL's ``increase()``
+    reconstruction. Resets are also counted. All arithmetic on cent
+    BIGINTs — exact at any parallelism.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("prev_c", F.lag("c").over(w))
+        .withColumn("prev_ts", F.lag("ts_us").over(w))
+    )
+    in_bucket = F.col("prev_ts").isNotNull() & (
+        _bucket(F.col("prev_ts"), HOUR_US) == _bucket(F.col("ts_us"), HOUR_US)
+    )
+    inc = F.when(
+        in_bucket,
+        F.when(F.col("c") >= F.col("prev_c"), F.col("c") - F.col("prev_c"))
+        .otherwise(F.col("c")),
+    ).otherwise(F.lit(0))
+    reset = (in_bucket & (F.col("c") < F.col("prev_c"))).cast("long")
+    return (
+        d.groupBy(
+            F.col("user_id").alias("conv_id"),
+            _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(inc).alias("increase_cents"),
+            F.sum(reset).alias("n_resets"),
+        )
+    )
+
+
+_Q40_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), lagged AS (
+  SELECT user_id, ts_us, c,
+         lag(c) OVER w AS prev_c,
+         lag(ts_us) OVER w AS prev_ts
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id AS conv_id,
+       ts_us - ts_us % {HOUR_US} AS bucket_us,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                      AND prev_ts - prev_ts % {HOUR_US} = ts_us - ts_us % {HOUR_US}
+                     THEN CASE WHEN c >= prev_c THEN c - prev_c ELSE c END
+                     ELSE 0 END) AS BIGINT) AS increase_cents,
+       CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                      AND prev_ts - prev_ts % {HOUR_US} = ts_us - ts_us % {HOUR_US}
+                      AND c < prev_c
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+FROM lagged GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_tier_features_1h": q01_tier_features_1h,
     "q02_zero_crossings_1d": q02_zero_crossings_1d,
@@ -650,6 +776,8 @@ QUERIES = {
     "q19_rolling_features": q19_rolling_features,
     "q35_tier_ops_metrics": q35_tier_ops_metrics,
     "q38_gapfill_linear_1h": q38_gapfill_linear_1h,
+    "q39_downsample_ohlc_1h": q39_downsample_ohlc_1h,
+    "q40_counter_increase_1h": q40_counter_increase_1h,
 }
 
 ORACLE_SQL = {
@@ -666,4 +794,6 @@ ORACLE_SQL = {
     "q19_rolling_features": _Q19_SQL,
     "q35_tier_ops_metrics": _Q35_SQL,
     "q38_gapfill_linear_1h": _Q38_SQL,
+    "q39_downsample_ohlc_1h": _Q39_SQL,
+    "q40_counter_increase_1h": _Q40_SQL,
 }
