@@ -532,60 +532,71 @@ def q38_gapfill_linear_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     order on both engines over exact integer inputs, so even filled doubles
     match DuckDB bitwise.
 
-    Scale shape: the grid is ``sequence()`` per conversation — output rows
-    bounded by (observed span / bucket width) per conv, no shuffle beyond
-    the one hash agg + one window partitioned on the same key.
+    Scale shape (single-pass): one scan → one hash agg → one ``lead()``
+    window; each observed bucket emits itself plus its following gap's
+    filled rows through ONE struct-array explode, so there is no grid
+    self-join and the raw input is never scanned twice.  Output rows are
+    bounded by (observed span / bucket width) per conv.  (The DuckDB oracle
+    uses an equivalent grid + IGNORE-NULLS-window formulation — independent
+    derivation, same semantics.)
     """
     s = (
         _base(spark, sf_dir)
         .groupBy("user_id", _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s1"))
     )
-    rng = s.groupBy("user_id").agg(
-        F.min("bucket_us").alias("b0"), F.max("bucket_us").alias("b1")
+    w = Window.partitionBy("user_id").orderBy("bucket_us")
+    x_obs = (F.col("s1").cast("double") / F.col("n").cast("double")) / F.lit(
+        100.0
     )
-    grid = rng.select(
-        "user_id",
-        F.explode(F.sequence("b0", "b1", F.lit(HOUR_US))).alias("bucket_us"),
+    d = (
+        s.withColumn("x0", x_obs)
+        .withColumn("t1", F.lead("bucket_us").over(w))
+        .withColumn("x1", F.lead(x_obs).over(w))
     )
-    j = grid.join(s, ["user_id", "bucket_us"], "left")
-    wp = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket_us")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wn = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket_us")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    x_obs = F.when(
-        F.col("n").isNotNull(),
-        (F.col("s1").cast("double") / F.col("n").cast("double")) / F.lit(100.0),
-    )
-    t_obs = F.when(F.col("n").isNotNull(), F.col("bucket_us"))
-    d = j.select(
-        "user_id",
-        "bucket_us",
-        "n",
-        x_obs.alias("x_obs"),
-        F.last(t_obs, ignorenulls=True).over(wp).alias("t0"),
-        F.last(x_obs, ignorenulls=True).over(wp).alias("x0"),
-        F.first(t_obs, ignorenulls=True).over(wn).alias("t1"),
-        F.first(x_obs, ignorenulls=True).over(wn).alias("x1"),
-    )
-    frac = (F.col("bucket_us") - F.col("t0")).cast("double") / (
-        F.col("t1") - F.col("t0")
-    ).cast("double")
-    x = F.when(F.col("n").isNotNull(), F.col("x_obs")).otherwise(
-        F.col("x0") + (F.col("x1") - F.col("x0")) * frac
+    gap = F.when(
+        F.col("t1").isNotNull() & (F.col("t1") > F.col("bucket_us") + HOUR_US),
+        F.sequence(
+            F.col("bucket_us") + HOUR_US,
+            F.col("t1") - HOUR_US,
+            F.lit(HOUR_US),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    def _interp(fb):
+        frac = (fb - F.col("bucket_us")).cast("double") / (
+            F.col("t1") - F.col("bucket_us")
+        ).cast("double")
+        return F.col("x0") + (F.col("x1") - F.col("x0")) * frac
+
+    items = F.concat(
+        F.array(
+            F.struct(
+                F.col("bucket_us").alias("b"),
+                F.col("n").alias("n"),
+                F.lit(0).alias("is_filled"),
+                F.col("x0").alias("x"),
+            )
+        ),
+        F.transform(
+            gap,
+            lambda fb: F.struct(
+                fb.alias("b"),
+                F.lit(0).cast("long").alias("n"),
+                F.lit(1).alias("is_filled"),
+                _interp(fb).alias("x"),
+            ),
+        ),
     )
     return d.select(
         F.col("user_id").alias("conv_id"),
-        "bucket_us",
-        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
-        F.col("n").isNull().cast("int").alias("is_filled"),
-        x.alias("x_mean"),
+        F.explode(items).alias("it"),
+    ).select(
+        "conv_id",
+        F.col("it.b").alias("bucket_us"),
+        F.col("it.n").alias("n"),
+        F.col("it.is_filled").alias("is_filled"),
+        F.col("it.x").alias("x_mean"),
     )
 
 
