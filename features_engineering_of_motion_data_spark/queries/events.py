@@ -773,6 +773,121 @@ FROM lagged GROUP BY 1, 2
 """
 
 
+# --- q41: exact percentiles of inter-turn latency ----------------------------
+
+
+def q41_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of the inter-turn gap per conversation — the
+    monitoring-tier quantile feature, computed EXACTLY (not sketch-based)
+    with the standard linear-interpolation definition, written as a pinned
+    op sequence so DuckDB matches bitwise: for quantile p over n sorted
+    values, ``idx = (n-1)·p``, ``x = x_lo + (x_hi − x_lo)·(idx − lo)``
+    with lo/hi the flanking ranks.  Engine-native ``percentile_approx`` is
+    the at-scale sketch twin (engine-specific merge, so not oracle-able);
+    this exact form needs one sort per conversation — fine for per-conv
+    cardinalities, and the same shape Spark's own ``percentile`` uses.
+
+    Scale shape: one window (rank over gap) + one hash agg, both
+    partitioned on conv_id — a single shuffle.
+    """
+    wseq = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        _base(spark, sf_dir)
+        .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(wseq))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    wrank = Window.partitionBy("user_id").orderBy("gap_us", "ts_us", "event_id")
+    r = gaps.select(
+        "user_id",
+        "gap_us",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+
+    def pick(p: float):
+        idx = (F.col("n") - 1).cast("double") * F.lit(p)
+        lo = F.floor(idx).cast("long")
+        x_lo = F.max(F.when(F.col("rn") == lo + 1, F.col("gap_us")))
+        x_hi = F.max(F.when(F.col("rn") == lo + 2, F.col("gap_us")))
+        # when idx is integral (lo == idx) there is no hi rank to fetch at
+        # the top end; coalesce to x_lo so the formula degrades exactly
+        return x_lo.cast("double") + (
+            F.coalesce(x_hi, x_lo).cast("double") - x_lo.cast("double")
+        ) * (F.max(idx) - F.max(lo.cast("double")))
+
+    return r.groupBy(F.col("user_id").alias("conv_id")).agg(
+        F.max("n").alias("n_gaps"),
+        pick(0.5).alias("p50_us"),
+        pick(0.9).alias("p90_us"),
+        pick(0.99).alias("p99_us"),
+    )
+
+
+_Q41_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+), r AS (
+  SELECT user_id, gap_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY gap_us, ts_us, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM g WHERE gap_us IS NOT NULL
+)
+SELECT user_id AS conv_id,
+       MAX(n) AS n_gaps,
+       CAST(MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN gap_us END) AS DOUBLE)
+         + (CAST(COALESCE(MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 2 THEN gap_us END),
+                          MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN gap_us END)) AS DOUBLE)
+            - CAST(MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN gap_us END) AS DOUBLE))
+           * (MAX(CAST(n - 1 AS DOUBLE) * 0.5) - MAX(floor(CAST(n - 1 AS DOUBLE) * 0.5))) AS p50_us,
+       CAST(MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 THEN gap_us END) AS DOUBLE)
+         + (CAST(COALESCE(MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 2 THEN gap_us END),
+                          MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 THEN gap_us END)) AS DOUBLE)
+            - CAST(MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 THEN gap_us END) AS DOUBLE))
+           * (MAX(CAST(n - 1 AS DOUBLE) * 0.9) - MAX(floor(CAST(n - 1 AS DOUBLE) * 0.9))) AS p90_us,
+       CAST(MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1 THEN gap_us END) AS DOUBLE)
+         + (CAST(COALESCE(MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 2 THEN gap_us END),
+                          MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1 THEN gap_us END)) AS DOUBLE)
+            - CAST(MAX(CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1 THEN gap_us END) AS DOUBLE))
+           * (MAX(CAST(n - 1 AS DOUBLE) * 0.99) - MAX(floor(CAST(n - 1 AS DOUBLE) * 0.99))) AS p99_us
+FROM r GROUP BY 1
+"""
+
+
+# --- q42: fixed-width value histogram per conversation-day -------------------
+
+
+def q42_value_histogram_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring histogram: count of samples per 5.00-unit value bin per
+    (conv, day) — the heatmap/histogram rollup every metrics store keeps.
+    Bin index is integer floor-division of exact cents, so it is exact in
+    both engines (floor semantics for negatives included).
+    """
+    width = 500  # cents
+    b = _base(spark, sf_dir)
+    bin_idx = F.floor(F.col("c") / F.lit(width)).cast("long")
+    return (
+        b.groupBy(
+            F.col("user_id").alias("conv_id"),
+            _bucket(F.col("ts_us"), DAY_US).alias("bucket_us"),
+            bin_idx.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_Q42_SQL = f"""
+SELECT user_id AS conv_id,
+       epoch_us(ts) - epoch_us(ts) % {DAY_US} AS bucket_us,
+       CAST(floor(CAST(round(value * 100, 0) AS BIGINT) / 500.0) AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q01_tier_features_1h": q01_tier_features_1h,
     "q02_zero_crossings_1d": q02_zero_crossings_1d,
@@ -789,6 +904,8 @@ QUERIES = {
     "q38_gapfill_linear_1h": q38_gapfill_linear_1h,
     "q39_downsample_ohlc_1h": q39_downsample_ohlc_1h,
     "q40_counter_increase_1h": q40_counter_increase_1h,
+    "q41_gap_percentiles": q41_gap_percentiles,
+    "q42_value_histogram_1d": q42_value_histogram_1d,
 }
 
 ORACLE_SQL = {
@@ -807,4 +924,6 @@ ORACLE_SQL = {
     "q38_gapfill_linear_1h": _Q38_SQL,
     "q39_downsample_ohlc_1h": _Q39_SQL,
     "q40_counter_increase_1h": _Q40_SQL,
+    "q41_gap_percentiles": _Q41_SQL,
+    "q42_value_histogram_1d": _Q42_SQL,
 }
