@@ -20,9 +20,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import events, relational, text, vector
+from . import events, relational, signal, text, vector
 
-_MODULES = (events, relational, text, vector)
+_MODULES = (events, relational, signal, text, vector)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,373 @@
+"""Signal-analysis queries over the ``events`` fixture (round-3 additions).
+
+Four classic per-series analytics on top of the tier algebra — time-weighted
+average (the TimescaleDB continuous-aggregate staple for irregular samples),
+lag-1 autocorrelation, exact-twiddle DFT bins (the oracle-able subset of the
+frequency-domain feature canon; the full PSD lives in
+``operators/spectral.py`` with a numpy-bitwise pytest gate), and z-score
+anomaly detection against the 1h tier.
+
+All four follow the package's exact-integer bridging contract: every
+cross-engine aggregate is an exact integer (cent BIGINTs, widened to
+decimal(38,0)/HUGEINT before any product that could overflow int64 at
+production scale), and every emitted double is produced by a *pinned*
+IEEE-754 op sequence written identically in Spark and DuckDB — so the
+driver's value-hash matches bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .events import HOUR_US, _base, _bucket
+
+
+def _dec(col):
+    """Widen an exact integer column to decimal(38,0) (DuckDB: HUGEINT)
+    BEFORE multiplying — products of cent-scale values exceed int64 once a
+    series passes ~10⁵ points, and the widened algebra stays exact to 10³⁸."""
+    return col.cast("decimal(38,0)")
+
+
+# --- q43: time-weighted average, 1h tier -------------------------------------
+
+
+def q43_time_weighted_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal time-weighted average per (conv, 1h bucket) — the
+    irregular-sampling replacement for the plain mean: each consecutive
+    in-bucket pair contributes ``(c_i + c_{i+1})·Δt / 2`` to the integral,
+    and the bucket's TWA is ``integral / observed span``.
+
+    Exactness: the integral numerator ``Σ (c_i+c_{i+1})·Δt`` and the span
+    ``Σ Δt`` are exact integers (decimal-widened products); the single
+    division ``num / (2·span)`` is the one pinned double op.  Pairs follow
+    q40's pair-in-bucket convention (both endpoints in the bucket; within a
+    conversation ordered by ts a bucket's samples are contiguous, so the
+    pair span telescopes to last−first).
+
+    Scale shape: one window (lag over the conv ordering) + one hash agg,
+    both partitioned on conv_id — a single shuffle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("prev_c", F.lag("c").over(w))
+        .withColumn("prev_ts", F.lag("ts_us").over(w))
+        .filter(
+            F.col("prev_ts").isNotNull()
+            & (_bucket(F.col("prev_ts"), HOUR_US) == _bucket(F.col("ts_us"), HOUR_US))
+        )
+    )
+    dt = F.col("ts_us") - F.col("prev_ts")
+    num = F.sum(_dec(F.col("prev_c") + F.col("c")) * _dec(dt))
+    span = F.sum(dt)
+    return (
+        d.groupBy(
+            F.col("user_id").alias("conv_id"),
+            _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            span.alias("span_us"),
+            (num.cast("double") / _dec(span * 2).cast("double")).alias("twa_cents"),
+        )
+        .filter(F.col("span_us") > 0)
+    )
+
+
+_Q43_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), lagged AS (
+  SELECT user_id, ts_us, c,
+         lag(c) OVER w AS prev_c,
+         lag(ts_us) OVER w AS prev_ts
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), pairs AS (
+  SELECT user_id,
+         ts_us - ts_us % {HOUR_US} AS bucket_us,
+         ts_us - prev_ts AS dt,
+         prev_c, c
+  FROM lagged
+  WHERE prev_ts IS NOT NULL
+    AND prev_ts - prev_ts % {HOUR_US} = ts_us - ts_us % {HOUR_US}
+)
+SELECT user_id AS conv_id, bucket_us,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(dt) AS BIGINT) AS span_us,
+       CAST(SUM(CAST(prev_c + c AS HUGEINT) * CAST(dt AS HUGEINT)) AS DOUBLE)
+         / CAST(CAST(SUM(dt) AS HUGEINT) * 2 AS DOUBLE) AS twa_cents
+FROM pairs
+GROUP BY 1, 2
+HAVING SUM(dt) > 0
+"""
+
+
+# --- q44: lag-1 autocorrelation per conversation -----------------------------
+
+
+def q44_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample lag-1 autocorrelation of each conversation's signal:
+    ``r1 = Σ(x_i−x̄)(x_{i−1}−x̄) / Σ(x_i−x̄)²`` — the standard burstiness /
+    smoothness feature for irregular event series.
+
+    Exactness trick: both sides are scaled by n² so every term is an exact
+    integer — ``num·n² = n²·Σx_ix_{i−1} − n·s1·(sh+st) + p·s1²`` and
+    ``den·n² = n·(n·s2 − s1²)`` (s1/s2 the sufficient stats, sh/st the
+    head/tail sums over the n−1 pairs, p = n−1) — leaving a SINGLE pinned
+    double division.  Decimal(38,0) holds the n²-scaled products to ~10⁶
+    points × cent values ~10⁸ with headroom.
+
+    Scale shape: one window + one hash agg on conv_id — a single shuffle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = _base(spark, sf_dir).withColumn("prev_c", F.lag("c").over(w))
+    has_prev = F.col("prev_c").isNotNull()
+    g = d.groupBy(F.col("user_id").alias("conv_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(_dec(F.col("c")) * _dec(F.col("c"))).alias("s2"),
+        F.sum(F.when(has_prev, _dec(F.col("prev_c")) * _dec(F.col("c")))).alias("sxy"),
+        F.sum(F.when(has_prev, F.col("prev_c"))).alias("sh"),
+        F.sum(F.when(has_prev, F.col("c"))).alias("st"),
+    )
+    n = _dec(F.col("n"))
+    s1 = _dec(F.col("s1"))
+    p = _dec(F.col("n") - 1)
+    num = n * n * F.col("sxy") - n * s1 * _dec(F.col("sh") + F.col("st")) + p * s1 * s1
+    den = n * (n * F.col("s2") - s1 * s1)
+    return (
+        g.filter((F.col("n") >= 3) & (den != 0))
+        .select(
+            "conv_id",
+            "n",
+            (num.cast("double") / den.cast("double")).alias("r1"),
+        )
+    )
+
+
+_Q44_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), lagged AS (
+  SELECT user_id, c, lag(c) OVER w AS prev_c
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), g AS (
+  SELECT user_id AS conv_id,
+         COUNT(*) AS n,
+         SUM(c) AS s1,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2,
+         SUM(CASE WHEN prev_c IS NOT NULL
+                  THEN CAST(prev_c AS HUGEINT) * CAST(c AS HUGEINT) END) AS sxy,
+         SUM(CASE WHEN prev_c IS NOT NULL THEN prev_c END) AS sh,
+         SUM(CASE WHEN prev_c IS NOT NULL THEN c END) AS st
+  FROM lagged GROUP BY 1
+)
+SELECT conv_id, n,
+       CAST(CAST(n AS HUGEINT) * n * sxy
+              - CAST(n AS HUGEINT) * s1 * (sh + st)
+              + CAST(n - 1 AS HUGEINT) * s1 * s1 AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * s2
+              - CAST(s1 AS HUGEINT) * s1) AS DOUBLE) AS r1
+FROM g
+WHERE n >= 3
+  AND CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * s2
+        - CAST(s1 AS HUGEINT) * s1) <> 0
+"""
+
+
+# --- q45: exact-twiddle DFT bins per (conv, 1h bucket) -----------------------
+
+
+def q45_spectral_bins_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain features with EXACT arithmetic: the per-bucket DFT
+    bins whose twiddle factors are rational — k = 0 (DC), k = n/2 (Nyquist,
+    weights ±1) and k = n/4 (quadrature, weights ∈ {±1, ±i, 0}) — computed
+    as signed integer sums over the bucket's samples in (ts, event_id)
+    order, then squared into band powers.  This is the cross-engine
+    oracle-able subset of the frequency-domain canon (Figo et al. 2010 §3.2);
+    the full PSD / spectral entropy / dominant frequency live in
+    ``operators/spectral.py`` (vectorized pandas UDF, numpy-bitwise pytest
+    gate) because arbitrary-angle twiddles are transcendental and libm ULPs
+    differ across engines.
+
+    Scale shape: one row_number window + one hash agg on (conv, bucket) —
+    a single shuffle; the powers are post-aggregation scalar expressions.
+    """
+    w = Window.partitionBy("user_id", "bucket_us").orderBy("ts_us", "event_id")
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("bucket_us", _bucket(F.col("ts_us"), HOUR_US))
+        .withColumn("i", F.row_number().over(w) - 1)
+    )
+    m2 = F.pmod(F.col("i"), F.lit(2))
+    m4 = F.pmod(F.col("i"), F.lit(4))
+    c = F.col("c")
+    g = d.groupBy(F.col("user_id").alias("conv_id"), "bucket_us").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s_dc"),
+        F.sum(F.when(m2 == 0, c).otherwise(-c)).alias("nyq"),
+        F.sum(F.when(m4 == 0, c).when(m4 == 2, -c).otherwise(F.lit(0))).alias("qre"),
+        F.sum(F.when(m4 == 1, -c).when(m4 == 3, c).otherwise(F.lit(0))).alias("qim"),
+    )
+    sq = lambda col: _dec(col) * _dec(col)  # noqa: E731
+    return g.select(
+        "conv_id",
+        "bucket_us",
+        "n",
+        sq(F.col("s_dc")).cast("double").alias("power_dc"),
+        sq(F.col("nyq")).cast("double").alias("power_nyquist"),
+        (sq(F.col("qre")) + sq(F.col("qim"))).cast("double").alias("power_quarter"),
+    )
+
+
+_Q45_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS bucket_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), idx AS (
+  SELECT user_id, bucket_us, c,
+         row_number() OVER (PARTITION BY user_id, bucket_us
+                            ORDER BY ts_us, event_id) - 1 AS i
+  FROM c
+), g AS (
+  SELECT user_id AS conv_id, bucket_us,
+         COUNT(*) AS n,
+         SUM(c) AS s_dc,
+         SUM(CASE WHEN i % 2 = 0 THEN c ELSE -c END) AS nyq,
+         SUM(CASE WHEN i % 4 = 0 THEN c WHEN i % 4 = 2 THEN -c ELSE 0 END) AS qre,
+         SUM(CASE WHEN i % 4 = 1 THEN -c WHEN i % 4 = 3 THEN c ELSE 0 END) AS qim
+  FROM idx GROUP BY 1, 2
+)
+SELECT conv_id, bucket_us, n,
+       CAST(CAST(s_dc AS HUGEINT) * CAST(s_dc AS HUGEINT) AS DOUBLE) AS power_dc,
+       CAST(CAST(nyq AS HUGEINT) * CAST(nyq AS HUGEINT) AS DOUBLE) AS power_nyquist,
+       CAST(CAST(qre AS HUGEINT) * CAST(qre AS HUGEINT)
+            + CAST(qim AS HUGEINT) * CAST(qim AS HUGEINT) AS DOUBLE) AS power_quarter
+FROM g
+"""
+
+
+# --- q46: z-score anomalies vs the 1h tier -----------------------------------
+
+
+def q46_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous stalls: inter-turn gaps more than 3 population standard
+    deviations from the conversation's own mean gap — the "this conversation
+    hung here" detector, run against the same per-conv gap series the
+    latency tiers roll up.  (Per-bucket VALUE z-scores are structurally
+    empty on this corpus: a bounded-uniform signal caps |z| ≈ 1.7, while
+    gap series are heavy-tailed and genuinely trip the 3σ rule.)
+
+    Exactness: the threshold test is decided ENTIRELY in exact integer
+    space — ``(g·n − s1)² > 9·(n·s2 − s1²)`` (both sides decimal-widened) —
+    so no float boundary case can disagree across engines; the reported
+    ``z = (g·n − s1) / √(n·s2 − s1²)`` is a pinned two-op double sequence
+    (division + hardware sqrt, both correctly rounded IEEE).
+
+    Scale shape: one lag window + one hash agg + one equi-join, all keyed
+    on conv_id — the agg side arrives pre-partitioned, so the join costs
+    no extra shuffle beyond the window's.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    b = (
+        _base(spark, sf_dir)
+        .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    g = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").alias("s1"),
+        F.sum(_dec(F.col("gap_us")) * _dec(F.col("gap_us"))).alias("s2"),
+    )
+    j = b.join(g, ["user_id"])
+    dev = _dec(F.col("gap_us")) * _dec(F.col("n_gaps")) - _dec(F.col("s1"))
+    var_n2 = _dec(F.col("n_gaps")) * F.col("s2") - _dec(F.col("s1")) * _dec(
+        F.col("s1")
+    )
+    return (
+        j.filter((F.col("n_gaps") >= 3) & (var_n2 > 0) & (dev * dev > var_n2 * 9))
+        .select(
+            F.col("user_id").alias("conv_id"),
+            "ts_us",
+            "event_id",
+            "gap_us",
+            "n_gaps",
+            (dev.cast("double") / F.sqrt(var_n2.cast("double"))).alias("z"),
+        )
+    )
+
+
+_Q46_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+), gaps AS (
+  SELECT * FROM c WHERE gap_us IS NOT NULL
+), g AS (
+  SELECT user_id,
+         COUNT(*) AS n_gaps,
+         SUM(gap_us) AS s1,
+         SUM(CAST(gap_us AS HUGEINT) * CAST(gap_us AS HUGEINT)) AS s2
+  FROM gaps GROUP BY 1
+)
+SELECT gaps.user_id AS conv_id, gaps.ts_us, gaps.event_id, gaps.gap_us, g.n_gaps,
+       CAST(CAST(gaps.gap_us AS HUGEINT) * g.n_gaps - s1 AS DOUBLE)
+         / sqrt(CAST(CAST(g.n_gaps AS HUGEINT) * s2
+                     - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) AS z
+FROM gaps JOIN g ON gaps.user_id = g.user_id
+WHERE g.n_gaps >= 3
+  AND CAST(g.n_gaps AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 > 0
+  AND (CAST(gaps.gap_us AS HUGEINT) * g.n_gaps - s1)
+        * (CAST(gaps.gap_us AS HUGEINT) * g.n_gaps - s1)
+        > (CAST(g.n_gaps AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) * 9
+"""
+
+
+# --- q47: full-spectrum periodogram (rows-only; no DuckDB FFT) ---------------
+
+
+def q47_spectral_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full one-sided periodogram features per conversation via
+    ``operators/spectral.py`` (numpy rfft inside Arrow-batched
+    applyInPandas).  DuckDB has no FFT, so this is a rows-only driver entry
+    by design — the value gate lives in tests/test_spectral.py (independent
+    naive-DFT oracle at rtol 1e-9 + bitwise partition invariance), the same
+    precedent as the xxhash-based q28/q29.
+    """
+    from ..operators.spectral import spectral_features
+
+    ch = _base(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit("value").alias("channel"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts_us", "event_id"))
+        .alias("turn_idx"),
+        F.col("c").alias("x"),
+    )
+    return spectral_features(ch)
+
+
+QUERIES = {
+    "q43_time_weighted_avg_1h": q43_time_weighted_avg_1h,
+    "q44_autocorr_lag1": q44_autocorr_lag1,
+    "q45_spectral_bins_1h": q45_spectral_bins_1h,
+    "q46_zscore_anomalies": q46_zscore_anomalies,
+    "q47_spectral_full": q47_spectral_full,
+}
+
+ORACLE_SQL = {
+    "q43_time_weighted_avg_1h": _Q43_SQL,
+    "q44_autocorr_lag1": _Q44_SQL,
+    "q45_spectral_bins_1h": _Q45_SQL,
+    "q46_zscore_anomalies": _Q46_SQL,
+}
