@@ -25,73 +25,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-CHILD = r"""
-import sys, time
-sys.path.insert(0, sys.argv[3])
-from pyspark.sql import functions as F
-from features_engineering_of_motion_data_spark.session import get_spark
-from features_engineering_of_motion_data_spark.operators.channels import dedup_turns, derive_channels
-from features_engineering_of_motion_data_spark.operators.features import aggregate_tier, finalize_features
-from features_engineering_of_motion_data_spark.operators.rollup import rollup_merge
-from features_engineering_of_motion_data_spark.sources.transcripts import read_transcripts
-
-n = int(sys.argv[1])
-parts = int(sys.argv[4])
-extra = {}
-if parts != n:
-    # without this, AQE's parallelism-first coalescing folds the multi-wave
-    # layout straight back to ~n partitions and the skew-smoothing is lost
-    extra["spark.sql.adaptive.coalescePartitions.minPartitionNum"] = str(parts)
-import os as _os, json as _json
-# config-variant experiments (BENCH/BASELINE.md): applied identically at
-# every core count, so the N-vs-4N comparison stays apples-to-apples
-extra.update(_json.loads(_os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}")))
-spark = get_spark(master="local[%d]" % n, shuffle_partitions=parts, extra_conf=extra)
-
-import os, resource
-def _proc_cpu_s():
-    # total CPU-seconds of this python + every live DESCENDANT process (the
-    # JVM and any Python workers it forks): walk the full ppid tree, not just
-    # direct children. /proc/<pid>/stat utime+stime aggregate all threads.
-    hz = os.sysconf("SC_CLK_TCK")
-    stats = {}
-    for pid in os.listdir("/proc"):
-        if not pid.isdigit():
-            continue
-        try:
-            with open(f"/proc/{pid}/stat") as f:
-                parts_ = f.read().rsplit(") ", 1)[1].split()
-            stats[pid] = (parts_[1], (int(parts_[11]) + int(parts_[12])) / hz)
-        except (OSError, IndexError, ValueError):
-            continue
-    mine = {str(os.getpid())}
-    grew = True
-    while grew:  # transitive closure over ppid
-        grew = False
-        for pid, (ppid, _) in stats.items():
-            if ppid in mine and pid not in mine:
-                mine.add(pid)
-                grew = True
-    total = sum(cpu for pid, (_, cpu) in stats.items() if pid in mine and pid != str(os.getpid()))
-    ru = resource.getrusage(resource.RUSAGE_SELF)
-    return total + ru.ru_utime + ru.ru_stime
-
-turns = read_transcripts(spark, sys.argv[2])
-def force(df):
-    return df.select(F.count(F.lit(1))).collect()[0][0]
-force(aggregate_tier(derive_channels(dedup_turns(turns.limit(100_000))), "1m"))  # JIT warmup
-cpu0 = _proc_cpu_s()
-t0 = time.perf_counter()
-s1m = aggregate_tier(derive_channels(dedup_turns(turns)), "1m")
-pts = force(finalize_features(s1m))
-s1h = rollup_merge(s1m, "1h")
-pts += force(finalize_features(s1h))
-pts += force(finalize_features(rollup_merge(s1h, "1d")))
-dt = time.perf_counter() - t0
-cpu = _proc_cpu_s() - cpu0
-print("MEASURE %d %f %d %f" % (n, dt, pts, cpu))
-spark.stop()
-"""
+CHILD = os.path.join(REPO, "BENCH", "child_cascade.py")
 
 
 def wait_idle(max_load: float, timeout_s: float = 900.0) -> None:
@@ -121,7 +55,7 @@ def measure(
     prefix = ["taskset", "-c", f"0-{cores - 1}"] if pin else []
     out = subprocess.run(
         prefix
-        + [sys.executable, "-c", CHILD, str(cores), input_path, REPO,
+        + [sys.executable, CHILD, str(cores), input_path, REPO,
            str(parts_mult * cores)],
         capture_output=True,
         text=True,
@@ -235,6 +169,13 @@ def main() -> None:
     }
     result = {
         "input": os.path.basename(args.input),
+        # which measurement child produced the samples: the staged cascade
+        # (1m persisted, 1h/1d merge from it — the production job shape,
+        # BENCH/child_cascade.py) or its uncached fallback. Records made by
+        # the two are different workloads; keep them in separate files.
+        "child": ("cascade_uncached"
+                  if os.environ.get("SPARK_GRAFT_NO_CACHE") == "1"
+                  else "cascade_cached"),
         "extra_conf": json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}")),
         "shuffle_parts_mult": args.parts_mult,
         "feature_points": points,

@@ -158,6 +158,11 @@ def main() -> None:
         "q28_minhash_lsh_pairs",
         "q34_embedding_lsh_pairs",
         "q38_gapfill_linear_1h",
+        # round-3 signal analytics: q43 = the exact-integer single-shuffle
+        # shape, q47 = the Arrow/pandas-UDF FFT path (the one deliberate
+        # Python stage — times the per-group rfft + Arrow transfer)
+        "q43_time_weighted_avg_1h",
+        "q47_spectral_full",
     )
     # q34 at the PRODUCTION parameterization (cos >= 0.8, 8 bands x 8 bits):
     # the fixture default (cos >= 0.4, 16x4) is banding's worst regime and

@@ -54,3 +54,4 @@ from .operators.incremental import (  # noqa: E402,F401
 )
 from .operators.metrics import tier_metrics  # noqa: E402,F401
 from .operators.sliding import sliding_features  # noqa: E402,F401
+from .operators.spectral import spectral_features  # noqa: E402,F401

@@ -25,6 +25,10 @@ SCALES = {
     "tiny": (20, 19),
     "small": (500, 49),
     "bench": (20_000, 99),
+    # 4x corpus for the scaling record: amortizes per-run fixed cost
+    # (codegen, scheduler, buffer warm-up) so the N-vs-4N ratio measures
+    # the engine, not the constant term (BENCH/BASELINE.md)
+    "bench4x": (80_000, 99),
 }
 TOOLS = np.array(["search", "exec", "read", "write"])
 EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
