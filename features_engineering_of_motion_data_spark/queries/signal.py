@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .events import HOUR_US, _base, _bucket
+from .events import DAY_US, HOUR_US, _base, _bucket
 
 
 def _dec(col):
@@ -357,12 +357,113 @@ def q47_spectral_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spectral_features(ch)
 
 
+# --- q48: cross-channel Pearson correlation per (conv, 1d bucket) ------------
+
+
+def q48_cross_channel_corr_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between two derived channels of one series —
+    the signal value (cents) and the inter-event latency (µs) — per
+    (conversation, 1d bucket).  This is the cross-axis correlation feature
+    of the motion-feature canon (Figo et al. 2010 §3.1, corr(x, y) between
+    accelerometer axes) applied to the transcript-derived channel pair: it
+    separates "long pauses co-occur with large values" conversations from
+    anti-correlated ones.
+
+    Pairs follow q43's pair-in-bucket convention (an event contributes iff
+    its predecessor is in the same bucket; x = current value, y = gap to
+    predecessor).  All six sufficient stats (n, Σx, Σy, Σxy, Σx², Σy²) are
+    exact integers, widened to decimal(38,0)/HUGEINT before any product, so
+    ``num = n·Σxy − Σx·Σy`` and the two variance terms are exact on both
+    engines; the finalize is the pinned sequence
+    ``num→double / (sqrt(varx→double) · sqrt(vary→double))``.
+
+    Scale shape: one lag window + one hash agg, both keyed on conv — a
+    single shuffle, no Python.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("prev_ts", F.lag("ts_us").over(w))
+        .filter(
+            F.col("prev_ts").isNotNull()
+            & (_bucket(F.col("prev_ts"), DAY_US) == _bucket(F.col("ts_us"), DAY_US))
+        )
+        .withColumn("dt", F.col("ts_us") - F.col("prev_ts"))
+    )
+    x, y = F.col("c"), F.col("dt")
+    g = d.groupBy(
+        F.col("user_id").alias("conv_id"),
+        _bucket(F.col("ts_us"), DAY_US).alias("bucket_us"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(_dec(x) * _dec(y)).alias("sxy"),
+        F.sum(_dec(x) * _dec(x)).alias("sxx"),
+        F.sum(_dec(y) * _dec(y)).alias("syy"),
+    )
+    n = _dec(F.col("n_pairs"))
+    num = n * F.col("sxy") - _dec(F.col("sx")) * _dec(F.col("sy"))
+    varx = n * F.col("sxx") - _dec(F.col("sx")) * _dec(F.col("sx"))
+    vary = n * F.col("syy") - _dec(F.col("sy")) * _dec(F.col("sy"))
+    return g.filter((F.col("n_pairs") >= 3) & (varx > 0) & (vary > 0)).select(
+        "conv_id",
+        "bucket_us",
+        "n_pairs",
+        (
+            num.cast("double")
+            / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
+        ).alias("corr_value_gap"),
+    )
+
+
+_Q48_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), lagged AS (
+  SELECT user_id, ts_us, c, lag(ts_us) OVER w AS prev_ts
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), pairs AS (
+  SELECT user_id,
+         ts_us - ts_us % {DAY_US} AS bucket_us,
+         c AS x,
+         ts_us - prev_ts AS y
+  FROM lagged
+  WHERE prev_ts IS NOT NULL
+    AND prev_ts - prev_ts % {DAY_US} = ts_us - ts_us % {DAY_US}
+), g AS (
+  SELECT user_id AS conv_id, bucket_us,
+         COUNT(*) AS n_pairs,
+         SUM(x) AS sx,
+         SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT conv_id, bucket_us, n_pairs,
+       CAST(CAST(n_pairs AS HUGEINT) * sxy
+              - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / (sqrt(CAST(CAST(n_pairs AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+            * sqrt(CAST(CAST(n_pairs AS HUGEINT) * syy
+                        - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS corr_value_gap
+FROM g
+WHERE n_pairs >= 3
+  AND CAST(n_pairs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+  AND CAST(n_pairs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+"""
+
+
 QUERIES = {
     "q43_time_weighted_avg_1h": q43_time_weighted_avg_1h,
     "q44_autocorr_lag1": q44_autocorr_lag1,
     "q45_spectral_bins_1h": q45_spectral_bins_1h,
     "q46_zscore_anomalies": q46_zscore_anomalies,
     "q47_spectral_full": q47_spectral_full,
+    "q48_cross_channel_corr_1d": q48_cross_channel_corr_1d,
 }
 
 ORACLE_SQL = {
@@ -370,4 +471,5 @@ ORACLE_SQL = {
     "q44_autocorr_lag1": _Q44_SQL,
     "q45_spectral_bins_1h": _Q45_SQL,
     "q46_zscore_anomalies": _Q46_SQL,
+    "q48_cross_channel_corr_1d": _Q48_SQL,
 }
