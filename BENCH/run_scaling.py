@@ -122,6 +122,7 @@ def main() -> None:
                 cpus.setdefault(int(c_str), []).extend(ts)
             samples = prior.get("samples", [])
             points = prior.get("feature_points")
+    invocation = int(time.time())  # tags same-window sample pairs
     for rep in range(args.reps):
         for c in cores:  # interleave configs within each round
             if args.wait_idle is not None:
@@ -132,7 +133,9 @@ def main() -> None:
             if cpu is not None:
                 cpus.setdefault(c, []).append(cpu)
                 samples.append({"cores": c, "wall_s": round(dt, 2),
-                                "cpu_s": round(cpu, 1)})
+                                "cpu_s": round(cpu, 1),
+                                "pair": f"{invocation}:{rep}",
+                                "t": int(time.time())})
             points = pts
             print(f"round {rep} local[{c}]: {dt:.1f}s "
                   f"(cpu {cpu:.1f}s, {pts} points)", flush=True)
@@ -167,6 +170,31 @@ def main() -> None:
         for b in sorted(awall)
         if b == 4 * a
     }
+    # paired view: both arms of one invocation run back-to-back in the SAME
+    # host window, so the N-vs-4N ratio inside a pair cancels the host's
+    # minute-scale frequency throttling that the cross-window minima must
+    # out-wait. Complements (never replaces) the audited-min protocol: the
+    # min answers "unthrottled absolute speed", the pair median answers
+    # "ratio under like-for-like conditions".
+    by_pair: dict[str, list[dict]] = {}
+    for x in samples:
+        if x.get("pair") and x["flag"] is None:
+            by_pair.setdefault(x["pair"], []).append(x)
+    pair_effs: dict[str, list[float]] = {}
+    for grp in by_pair.values():
+        arms = {x["cores"]: x["wall_s"] for x in grp}
+        for a in sorted(arms):
+            if 4 * a in arms:
+                pair_effs.setdefault(f"{a}->{4 * a}", []).append(
+                    round(arms[a] / (4 * arms[4 * a]), 3)
+                )
+    med = lambda v: sorted(v)[len(v) // 2] if len(v) % 2 else round(  # noqa: E731
+        (sorted(v)[len(v) // 2 - 1] + sorted(v)[len(v) // 2]) / 2, 3
+    )
+    paired = {
+        k: {"n_pairs": len(v), "median": med(v), "best": max(v), "all": sorted(v)}
+        for k, v in pair_effs.items()
+    }
     result = {
         "input": os.path.basename(args.input),
         # which measurement child produced the samples: the staged cascade
@@ -192,6 +220,7 @@ def main() -> None:
         "efficiency_Nx4": {k: round(v, 3) for k, v in effs.items()},
         "wall_s_best_audited": {str(c): round(v, 2) for c, v in sorted(awall.items())},
         "efficiency_Nx4_audited": aeffs,
+        "efficiency_Nx4_paired": paired,
         # samples within 5% of each arm's audited best (>=3 per arm = the
         # "quiet window actually observed, repeatedly" evidence standard)
         "quiet_samples_within_5pct": {str(c): n for c, n in sorted(quiet.items())},
