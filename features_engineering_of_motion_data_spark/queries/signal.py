@@ -457,6 +457,75 @@ WHERE n_pairs >= 3
 """
 
 
+# --- q49: OLS trend slope per (conv, 1h bucket) -------------------------------
+
+
+def q49_trend_slope_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend slope of the value channel within each
+    (conversation, 1h bucket): ``β = (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²)`` —
+    the drift/trend feature of the rollup canon (is this conversation's
+    signal rising or falling inside the window?).
+
+    ``t`` is measured relative to the bucket start (slope is shift-
+    invariant; the smaller magnitudes keep every product well inside
+    decimal(38,0)/HUGEINT: t_rel ≤ 3.6e9 µs, so n·Σt² ≤ ~1e29 at 10⁵
+    points/bucket).  All five sufficient stats are exact integers; the
+    finalize is the single pinned double division.  Units: cents per µs.
+
+    Scale shape: one hash agg keyed (conv, bucket) — a single shuffle,
+    no window, no Python.
+    """
+    d = _base(spark, sf_dir).select(
+        "user_id",
+        _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"),
+        (F.col("ts_us") - _bucket(F.col("ts_us"), HOUR_US)).alias("t"),
+        "c",
+    )
+    t, y = F.col("t"), F.col("c")
+    g = d.groupBy(F.col("user_id").alias("conv_id"), "bucket_us").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).alias("st"),
+        F.sum(y).alias("sy"),
+        F.sum(_dec(t) * _dec(y)).alias("sty"),
+        F.sum(_dec(t) * _dec(t)).alias("stt"),
+    )
+    n = _dec(F.col("n"))
+    num = n * F.col("sty") - _dec(F.col("st")) * _dec(F.col("sy"))
+    den = n * F.col("stt") - _dec(F.col("st")) * _dec(F.col("st"))
+    return g.filter((F.col("n") >= 3) & (den > 0)).select(
+        "conv_id",
+        "bucket_us",
+        "n",
+        (num.cast("double") / den.cast("double")).alias("slope_cents_per_us"),
+    )
+
+
+_Q49_SQL = f"""
+WITH c AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS bucket_us,
+         epoch_us(ts) % {HOUR_US} AS t,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), g AS (
+  SELECT user_id AS conv_id, bucket_us,
+         COUNT(*) AS n,
+         SUM(t) AS st,
+         SUM(c) AS sy,
+         SUM(CAST(t AS HUGEINT) * CAST(c AS HUGEINT)) AS sty,
+         SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS stt
+  FROM c GROUP BY 1, 2
+)
+SELECT conv_id, bucket_us, n,
+       CAST(CAST(n AS HUGEINT) * sty - CAST(st AS HUGEINT) * sy AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st AS DOUBLE)
+         AS slope_cents_per_us
+FROM g
+WHERE n >= 3
+  AND CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st > 0
+"""
+
+
 QUERIES = {
     "q43_time_weighted_avg_1h": q43_time_weighted_avg_1h,
     "q44_autocorr_lag1": q44_autocorr_lag1,
@@ -464,6 +533,7 @@ QUERIES = {
     "q46_zscore_anomalies": q46_zscore_anomalies,
     "q47_spectral_full": q47_spectral_full,
     "q48_cross_channel_corr_1d": q48_cross_channel_corr_1d,
+    "q49_trend_slope_1h": q49_trend_slope_1h,
 }
 
 ORACLE_SQL = {
@@ -472,4 +542,5 @@ ORACLE_SQL = {
     "q45_spectral_bins_1h": _Q45_SQL,
     "q46_zscore_anomalies": _Q46_SQL,
     "q48_cross_channel_corr_1d": _Q48_SQL,
+    "q49_trend_slope_1h": _Q49_SQL,
 }
