@@ -25,6 +25,17 @@ VARIANTS = {
     "g1_4g":  {"spark.sql.adaptive.enabled": "false",
                "spark.driver.memory": "4g"},
     "g1_16g": {"spark.sql.adaptive.enabled": "false"},
+    "pgc4_8g": {"spark.sql.adaptive.enabled": "false",
+                "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -XX:ParallelGCThreads=4",
+                "spark.driver.memory": "8g"},
+    "g1_8g":  {"spark.sql.adaptive.enabled": "false",
+               "spark.driver.memory": "8g"},
+    "pgc4_6g": {"spark.sql.adaptive.enabled": "false",
+                "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -XX:ParallelGCThreads=4",
+                "spark.driver.memory": "6g"},
+    "sgc4g_p4": {"spark.sql.adaptive.enabled": "false",
+                 "spark.driver.extraJavaOptions": "-XX:+UseSerialGC",
+                 "spark.driver.memory": "4g", "_parts": 16},
 }
 
 def wait_idle(max_load=5.0, timeout_s=600):
@@ -33,11 +44,13 @@ def wait_idle(max_load=5.0, timeout_s=600):
         time.sleep(5)
 
 def run(cores, conf):
+    conf = dict(conf)
+    parts = conf.pop("_parts", cores)
     env = dict(os.environ)
     env["SPARK_GRAFT_EXTRA_CONF"] = json.dumps(conf)
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores-1}", sys.executable, CHILD,
-         str(cores), INPUT, REPO, str(cores)],
+         str(cores), INPUT, REPO, str(parts)],
         capture_output=True, text=True, cwd=REPO, env=env)
     for line in out.stdout.splitlines():
         if line.startswith("MEASURE"):
