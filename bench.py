@@ -63,9 +63,10 @@ def _force(df) -> int:
 
 def main() -> None:
     transcripts_path = ensure_transcripts_parquet(SCALE)
-    spark = get_spark(
-        master=f"local[{CPUS}]", app_name="bench", shuffle_partitions=CPUS
-    )
+    # shuffle_partitions defaults to 4 waves/core (see session.py: measured
+    # ~20% CPU cut on the cascade vs the old 1-wave layout)
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench")
     timings: dict[str, float] = {}
     points: dict[str, int] = {}
 

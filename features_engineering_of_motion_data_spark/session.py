@@ -26,10 +26,20 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    extra_default: dict[str, str] = {}
     if shuffle_partitions is None:
-        # match parallelism, not the 200 default (local mode = 1 JVM)
+        # 4 task waves per core, not the 200 default (local mode = 1 JVM) and
+        # not 1 wave: measured on the staged cascade (BENCH/sweep_gc4.log,
+        # sgc4g_p4 vs sgc4g) a 4-wave layout cuts TOTAL CPU ~20% — smaller
+        # per-task agg hash maps stay cache/GC-friendly — on top of
+        # bin-packing hot-conversation partition skew (max/mean 1.35 at one
+        # wave). The AQE coalesce floor is pinned alongside, else its
+        # parallelism-first coalescing folds the waves straight back to one.
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-        shuffle_partitions = cpus
+        shuffle_partitions = 4 * cpus
+        extra_default["spark.sql.adaptive.coalescePartitions.minPartitionNum"] = str(
+            shuffle_partitions
+        )
     conf = {
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",
@@ -40,6 +50,7 @@ def get_spark(
         "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        **extra_default,
     }
     if extra_conf:
         conf.update(extra_conf)
