@@ -888,6 +888,121 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+# --- q50: LOCF gap-fill with staleness --------------------------------------
+
+
+def q50_gapfill_locf_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap-fill (TimescaleDB
+    ``time_bucket_gapfill``+``locf`` semantics) — the step-function sibling
+    of q38's linear interpolation, the right fill for state-like channels
+    (config values, gauges that hold between samples) where interpolating
+    invents values that never existed.  Each missing 1h bucket inside a
+    conversation's observed span carries the previous observed mean
+    unchanged, plus a ``stale_buckets`` staleness age (how many buckets ago
+    the carried value was actually observed — the monitoring-side freshness
+    signal TimescaleDB exposes as the locf'd row's distance to its source).
+
+    Exactness bridge: the carried value is a bit-copy of the observed mean
+    (no arithmetic on the fill path at all), and the observed mean uses the
+    same pinned exact-cents ``(s1/n)/100.0`` sequence as q38, so every
+    double matches DuckDB bitwise by construction.
+
+    Scale shape (single-pass, identical to q38's): one scan → one hash agg
+    → one ``lead()`` window → one struct-array explode per observed bucket
+    covering its following gap.  No grid self-join, no second scan; output
+    bounded by (observed span / bucket width) per conv.
+    """
+    s = (
+        _base(spark, sf_dir)
+        .groupBy("user_id", _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s1"))
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket_us")
+    x_obs = (F.col("s1").cast("double") / F.col("n").cast("double")) / F.lit(
+        100.0
+    )
+    d = s.withColumn("x0", x_obs).withColumn("t1", F.lead("bucket_us").over(w))
+    gap = F.when(
+        F.col("t1").isNotNull() & (F.col("t1") > F.col("bucket_us") + HOUR_US),
+        F.sequence(
+            F.col("bucket_us") + HOUR_US,
+            F.col("t1") - HOUR_US,
+            F.lit(HOUR_US),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    items = F.concat(
+        F.array(
+            F.struct(
+                F.col("bucket_us").alias("b"),
+                F.col("n").alias("n"),
+                F.lit(0).alias("is_filled"),
+                F.col("x0").alias("x"),
+                F.lit(0).cast("long").alias("stale"),
+            )
+        ),
+        F.transform(
+            gap,
+            lambda fb: F.struct(
+                fb.alias("b"),
+                F.lit(0).cast("long").alias("n"),
+                F.lit(1).alias("is_filled"),
+                F.col("x0").alias("x"),
+                ((fb - F.col("bucket_us")) / F.lit(HOUR_US))
+                .cast("long")
+                .alias("stale"),
+            ),
+        ),
+    )
+    return d.select(
+        F.col("user_id").alias("conv_id"),
+        F.explode(items).alias("it"),
+    ).select(
+        "conv_id",
+        F.col("it.b").alias("bucket_us"),
+        F.col("it.n").alias("n"),
+        F.col("it.is_filled").alias("is_filled"),
+        F.col("it.x").alias("x_locf"),
+        F.col("it.stale").alias("stale_buckets"),
+    )
+
+
+_Q50_SQL = f"""
+WITH c AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS bucket_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), s AS (
+  SELECT user_id, bucket_us, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s1
+  FROM c GROUP BY 1, 2
+), rng AS (
+  SELECT user_id, MIN(bucket_us) AS b0, MAX(bucket_us) AS b1 FROM s GROUP BY 1
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(b0, b1, {HOUR_US})) AS bucket_us
+  FROM rng
+), j AS (
+  SELECT g.user_id, g.bucket_us, s.n, s.s1
+  FROM grid g LEFT JOIN s ON s.user_id = g.user_id AND s.bucket_us = g.bucket_us
+), w AS (
+  SELECT user_id, bucket_us, n,
+         last_value(CASE WHEN n IS NOT NULL THEN bucket_us END IGNORE NULLS)
+           OVER wp AS t0,
+         last_value(CASE WHEN n IS NOT NULL
+              THEN (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 END IGNORE NULLS)
+           OVER wp AS x0
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY bucket_us ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id AS conv_id, bucket_us,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n,
+       CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INT) AS is_filled,
+       x0 AS x_locf,
+       CAST((bucket_us - t0) / {HOUR_US} AS BIGINT) AS stale_buckets
+FROM w
+"""
+
+
 QUERIES = {
     "q01_tier_features_1h": q01_tier_features_1h,
     "q02_zero_crossings_1d": q02_zero_crossings_1d,
@@ -906,6 +1021,7 @@ QUERIES = {
     "q40_counter_increase_1h": q40_counter_increase_1h,
     "q41_gap_percentiles": q41_gap_percentiles,
     "q42_value_histogram_1d": q42_value_histogram_1d,
+    "q50_gapfill_locf_1h": q50_gapfill_locf_1h,
 }
 
 ORACLE_SQL = {
@@ -926,4 +1042,5 @@ ORACLE_SQL = {
     "q40_counter_increase_1h": _Q40_SQL,
     "q41_gap_percentiles": _Q41_SQL,
     "q42_value_histogram_1d": _Q42_SQL,
+    "q50_gapfill_locf_1h": _Q50_SQL,
 }
