@@ -40,6 +40,56 @@ from pyspark.sql import functions as F
 
 _SNAP_DIR = "_snapshots"
 
+# columns whose per-file min/max land in the snapshot manifest (the Iceberg
+# data-skipping analogue: writers record column bounds per data file so point
+# lookups and time-range scans prune to the files that can match, before the
+# engine ever opens a footer). conv_id bounds are effective because the
+# rollup job lays files out via repartitionByRange(conv_id, …) — each file
+# within a bucket_date partition covers a narrow conv range.
+_STAT_COLS = ("conv_id", "bucket_start")
+
+
+def _ts_us(v) -> int:
+    """datetime → µs since epoch, exact integer math (UTC, tz-naive or aware)."""
+    import calendar
+
+    return calendar.timegm(v.utctimetuple()) * 1_000_000 + v.microsecond
+
+
+def _stat_value(v):
+    if isinstance(v, bytes):
+        v = v.decode("utf-8", errors="replace")
+    if isinstance(v, datetime.datetime):
+        return _ts_us(v)
+    return v
+
+
+def _file_stats(fp: str) -> dict:
+    """Per-file row count + min/max bounds for _STAT_COLS, read once from the
+    parquet footer at commit time (at deployment the writer task reports these,
+    as Iceberg's writers do; reading the footer driver-side is the local
+    facade's equivalent — O(files touched by this commit), no data scan)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fp).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {"rows": md.num_rows}
+    for col in _STAT_COLS:
+        if col not in idx:
+            continue
+        mins: list | None = []
+        maxs: list = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                mins = None
+                break
+            mins.append(_stat_value(st.min))
+            maxs.append(_stat_value(st.max))
+        if mins:
+            out[col] = [min(mins), max(maxs)]
+    return out
+
 
 def _snapshot_paths(path: str) -> list[str]:
     d = os.path.join(path, _SNAP_DIR)
@@ -86,14 +136,22 @@ def _commit(
     commit physically deleted, so AS-OF reads of *earlier* snapshots can fail
     with a clear "expired" error instead of a mid-scan path-not-found."""
     seq = len(_snapshot_paths(path))
+    snaps = list_snapshots(path)
+    prior_stats = snaps[-1].get("file_stats", {}) if snaps else {}
     listing = []
+    file_stats: dict[str, dict] = {}
     for d, commits in sorted(partitions.items()):
         for c in commits:
             pdir = os.path.join(path, f"commit={c}", f"bucket_date={d}")
             for fn in sorted(os.listdir(pdir)):
                 if fn.endswith(".parquet"):
-                    st = os.stat(os.path.join(pdir, fn))
-                    listing.append(f"commit={c}/bucket_date={d}/{fn}:{st.st_size}")
+                    fp = os.path.join(pdir, fn)
+                    rel = f"commit={c}/bucket_date={d}/{fn}"
+                    listing.append(f"{rel}:{os.stat(fp).st_size}")
+                    # data files are immutable: stats carry over from the
+                    # parent snapshot; only this commit's new files get a
+                    # footer read
+                    file_stats[rel] = prior_stats.get(rel) or _file_stats(fp)
     snap_id = hashlib.sha256("\n".join(listing).encode()).hexdigest()[:16]
     manifest = {
         "seq": seq,
@@ -101,6 +159,7 @@ def _commit(
         "parent_id": parent,
         "partitions": partitions,
         "expired_partitions": sorted(expired or []),
+        "file_stats": file_stats,
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
@@ -140,14 +199,40 @@ def write_tier(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     return _commit(path, partitions, parent["snapshot_id"] if parent else None)
 
 
+def _norm_bound(v):
+    if isinstance(v, str):
+        v = datetime.datetime.fromisoformat(v)
+    if isinstance(v, datetime.datetime):
+        return _ts_us(v)
+    return v
+
+
 def read_tier(
-    spark: SparkSession, path: str, snapshot_id: str | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: str | None = None,
+    conv_id: str | tuple | None = None,
+    bucket_range: tuple | None = None,
 ) -> DataFrame:
-    """Read the tier table, current or AS OF a prior ``snapshot_id``."""
+    """Read the tier table, current or AS OF a prior ``snapshot_id``.
+
+    ``conv_id`` (a point value or an inclusive ``(lo, hi)`` range) and
+    ``bucket_range`` (inclusive ``(lo, hi)`` on ``bucket_start``; datetimes
+    or ISO strings, either end ``None`` for open) use the manifest's
+    per-file column bounds to PRUNE the file list before Spark plans the
+    scan — the Iceberg data-skipping path.  At 10¹²-turn scale this is what
+    makes "show me this conversation's history" O(days × ~1 file) instead
+    of O(all files): the rollup job's repartitionByRange(conv_id) layout
+    means each file covers a narrow conv range, so the bounds are tight.
+    The matching predicate is ALWAYS applied to the rows as well (pruning
+    is a superset guarantee — files without stats are kept), so results
+    equal a full scan + filter, bit for bit.
+    """
     manifest = _resolve_manifest(path, snapshot_id)
     if manifest is None:
         # pre-lineage layout (plain partitioned parquet dir)
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        return _apply_read_filters(df, conv_id, bucket_range)
     # retention may have physically deleted partitions this snapshot
     # references: any LATER snapshot's expired_partitions list makes an
     # AS-OF read of those days unservable — fail clearly, up front
@@ -176,7 +261,81 @@ def read_tier(
             f"snapshot {manifest['snapshot_id']} of {path} references "
             f"missing data dirs (corrupt table?): {missing[:3]}"
         )
-    return spark.read.option("basePath", path).parquet(*dirs).drop("commit")
+    sources = dirs
+    stats = manifest.get("file_stats") or {}
+    bounds = {}
+    if conv_id is not None:
+        bounds["conv_id"] = (
+            conv_id if isinstance(conv_id, tuple) else (conv_id, conv_id)
+        )
+    if bucket_range is not None:
+        bounds["bucket_start"] = (
+            _norm_bound(bucket_range[0]),
+            _norm_bound(bucket_range[1]),
+        )
+    if bounds and stats:
+        kept = []
+        for d in dirs:
+            prefix = os.path.relpath(d, path)
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                st = stats.get(f"{prefix}/{fn}")
+                keep = True
+                for col, (lo, hi) in bounds.items():
+                    mnmx = (st or {}).get(col)
+                    if mnmx is None:
+                        continue  # no bounds recorded → cannot prune
+                    if (hi is not None and mnmx[0] > hi) or (
+                        lo is not None and mnmx[1] < lo
+                    ):
+                        keep = False
+                        break
+                if keep:
+                    kept.append(os.path.join(d, fn))
+        sources = kept
+    if not sources:
+        # every file pruned: empty frame with the table schema (cheap — one
+        # footer read off the first live file)
+        first_dir = dirs[0]
+        first_file = next(
+            os.path.join(first_dir, f)
+            for f in sorted(os.listdir(first_dir))
+            if f.endswith(".parquet")
+        )
+        df = (
+            spark.read.option("basePath", path)
+            .parquet(first_file)
+            .drop("commit")
+            .filter(F.lit(False))
+        )
+    else:
+        df = spark.read.option("basePath", path).parquet(*sources).drop("commit")
+    return _apply_read_filters(df, conv_id, bucket_range)
+
+
+def _apply_read_filters(
+    df: DataFrame, conv_id: str | tuple | None, bucket_range: tuple | None
+) -> DataFrame:
+    if conv_id is not None:
+        if isinstance(conv_id, tuple):
+            lo, hi = conv_id
+            if lo is not None:
+                df = df.filter(F.col("conv_id") >= lo)
+            if hi is not None:
+                df = df.filter(F.col("conv_id") <= hi)
+        else:
+            df = df.filter(F.col("conv_id") == conv_id)
+    if bucket_range is not None:
+        lo, hi = (
+            datetime.datetime.fromisoformat(v) if isinstance(v, str) else v
+            for v in bucket_range
+        )
+        if lo is not None:
+            df = df.filter(F.col("bucket_start") >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col("bucket_start") <= F.lit(hi))
+    return df
 
 
 def compact(

@@ -173,3 +173,79 @@ def test_asof_read_past_retention_boundary_fails_clearly(spark, feats, tmp_path)
         read_tier(spark, out, snapshot_id=snap1)
     # the post-expiry snapshot still reads fine
     assert read_tier(spark, out).count() > 0
+
+
+def test_file_stats_recorded_in_manifest(spark, feats, tmp_path):
+    """Every commit records per-file row counts + conv_id/bucket_start
+    bounds (the Iceberg data-skipping analogue); counts must tie out to the
+    table, and bounds must actually bound the file contents."""
+    out = str(tmp_path / "tier_1d")
+    write_tier(feats, out)
+    stats = list_snapshots(out)[-1]["file_stats"]
+    assert stats, "commit wrote no file_stats"
+    assert sum(s["rows"] for s in stats.values()) == feats.count()
+    pdf = _pdf(feats)
+    lo, hi = pdf["conv_id"].min(), pdf["conv_id"].max()
+    for s in stats.values():
+        assert lo <= s["conv_id"][0] <= s["conv_id"][1] <= hi
+        assert s["bucket_start"][0] <= s["bucket_start"][1]
+
+
+def test_point_lookup_prunes_files(spark, feats, tmp_path):
+    """read_tier(conv_id=...) over a range-clustered layout reads strictly
+    fewer files than a full scan and returns exactly the full-scan-filtered
+    rows, bit for bit."""
+    out = str(tmp_path / "tier_1d")
+    # the rollup job's layout: range-partition by conv_id so each file
+    # within a bucket_date partition covers a narrow conv range
+    write_tier(feats.repartitionByRange(4, "conv_id"), out)
+
+    conv = _pdf(feats)["conv_id"].iloc[0]
+    full = read_tier(spark, out)
+    pruned = read_tier(spark, out, conv_id=conv)
+    want = (
+        full.filter(full.conv_id == conv)
+        .toPandas()
+        .sort_values(["conv_id", "channel", "bucket_start"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    got = (
+        pruned.toPandas()
+        .sort_values(["conv_id", "channel", "bucket_start"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert len(got) > 0
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_bucket_range_prunes_and_open_ended(spark, feats, tmp_path):
+    out = str(tmp_path / "tier_1d")
+    write_tier(feats, out)
+    pdf = _pdf(feats)
+    days = sorted(pdf["bucket_start"].unique())
+    assert len(days) > 2
+    cut = days[1]
+
+    ranged = read_tier(spark, out, bucket_range=(None, cut)).toPandas()
+    assert set(ranged["bucket_start"].unique()) <= set(days[:2])
+    assert len(ranged) == int((pdf["bucket_start"] <= cut).sum())
+    # bounds prune to fewer files than the full live set
+    full_files = read_tier(spark, out).inputFiles()
+    pruned_files = read_tier(spark, out, bucket_range=(None, cut)).inputFiles()
+    assert len(pruned_files) < len(full_files)
+
+    # ISO-string bounds behave like datetimes
+    iso = read_tier(
+        spark, out, bucket_range=(None, str(pd.Timestamp(cut)))
+    ).toPandas()
+    assert len(iso) == len(ranged)
+
+
+def test_prune_to_nothing_keeps_schema(spark, feats, tmp_path):
+    out = str(tmp_path / "tier_1d")
+    write_tier(feats, out)
+    full = read_tier(spark, out)
+    empty = read_tier(spark, out, conv_id="zzz_no_such_conv")
+    assert empty.count() == 0
+    assert empty.schema == full.schema

@@ -156,3 +156,95 @@ def test_stream_sessions(spark, stream_input):
     bursty = got[got.conv_id == "edge_bursty"]
     assert len(bursty) == 20
     assert (bursty["n_turns"] == 10).all()
+
+
+def test_watermark_late_data_and_append_finalization(spark, tmp_path):
+    """The streaming contract Spark actually GUARANTEES for late data, pinned
+    empirically (Spark ≥3.4 filters late events with the PREVIOUS batch's
+    watermark — ``watermarkForLateEvents`` — and evicts with the updated one,
+    so dropping before a window's state is evicted is best-effort, NOT
+    promised):
+
+    1. cross-batch rows within the watermark delay MERGE into the open
+       window (no premature finalization),
+    2. append mode emits a window exactly ONCE, when the watermark passes
+       its end — still-open windows are withheld,
+    3. a row arriving after its window was emitted+evicted is dropped
+       deterministically (no duplicate emission, no resurrected state).
+
+    Three files, mtime-ordered so the file source feeds them as separate
+    micro-batches (maxFilesPerTrigger=1): f1 = windows 0/1/2/18 + a
+    watermark-advancer at minute 20; f2 = a cross-batch update to the
+    still-open window 18 + a minute-60 sentinel whose batch evicts all
+    earlier windows; f3 = a too-late row for the already-emitted window 0
+    + a minute-61 row whose window stays open."""
+    import datetime
+    import os
+    import shutil
+
+    def rows(specs):
+        return [
+            (
+                "c1",
+                i,
+                "user",
+                "x" * 10,
+                None,
+                datetime.datetime(2024, 1, 1)
+                + datetime.timedelta(minutes=minute, seconds=second),
+            )
+            for i, (minute, second) in enumerate(specs)
+        ]
+
+    d = str(tmp_path / "late_in")
+    os.makedirs(d)
+    for name, specs, mtime in (
+        ("f1", [(0, 0), (1, 0), (2, 0), (18, 0), (20, 0)], 1_000_000),
+        ("f2", [(18, 30), (60, 0)], 2_000_000),
+        ("f3", [(0, 30), (61, 0)], 3_000_000),
+    ):
+        tmp = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows(specs), TRANSCRIPT_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(d, f"{name}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    shutil.rmtree("/tmp/ckpt_late", ignore_errors=True)
+    turns = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = (
+        _run_stream(
+            spark, stream_tier_1m(turns, watermark="5 minutes"), "late"
+        )
+        .toPandas()
+        .query("channel == 'text_len'")
+    )
+    minute_us = 60_000_000
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+    # (2) exactly-once emission: no bucket appears twice in the sink
+    assert got["bucket_us"].is_unique
+    byb = got.set_index("bucket_us")
+    # f1's window 0 was emitted (n=1) at f2's batch; f3's too-late row for
+    # it was dropped — (3): no duplicate row, no n=2 resurrection
+    assert sorted(byb.index) == [
+        base_us,
+        base_us + 1 * minute_us,
+        base_us + 2 * minute_us,
+        base_us + 18 * minute_us,
+        base_us + 20 * minute_us,
+    ]
+    assert int(byb.loc[base_us, "n"]) == 1
+    # (1) the cross-batch minute-18:30 row merged into window 18 before it
+    # finalized: n=2 spanning both micro-batches
+    assert int(byb.loc[base_us + 18 * minute_us, "n"]) == 2
+    # (2) still-open windows withheld: final watermark = 00:56 < ends of
+    # the minute-60/61 windows
+    assert base_us + 60 * minute_us not in byb.index
+    assert base_us + 61 * minute_us not in byb.index
