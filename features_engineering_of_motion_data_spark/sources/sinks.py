@@ -397,8 +397,17 @@ def compact(
         for c in commits
     ]
     df = spark.read.option("basePath", path).parquet(*dirs).drop("commit")
-    writer = df.repartition("bucket_date").write.mode("overwrite").partitionBy(
-        "bucket_date"
+    # sort by conv_id within each rewritten partition: when
+    # max_records_per_file splits a partition into several files, each file
+    # then covers a DISJOINT conv_id range, so the manifest's file-level
+    # bounds (data skipping) stay as selective after compaction as the
+    # original range-clustered layout (Iceberg analogue: a sort order on the
+    # rewrite spec)
+    writer = (
+        df.repartition("bucket_date")
+        .sortWithinPartitions("bucket_date", "conv_id", "channel", "bucket_start")
+        .write.mode("overwrite")
+        .partitionBy("bucket_date")
     )
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)

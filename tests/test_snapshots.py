@@ -249,3 +249,31 @@ def test_prune_to_nothing_keeps_schema(spark, feats, tmp_path):
     empty = read_tier(spark, out, conv_id="zzz_no_such_conv")
     assert empty.count() == 0
     assert empty.schema == full.schema
+
+
+def test_compact_preserves_data_skipping(spark, feats, tmp_path):
+    """Compaction must not destroy the clustering that makes file-level
+    bounds selective: when max_records_per_file splits a rewritten partition
+    into several files, their conv_id ranges must be DISJOINT, and a point
+    lookup must still prune within the compacted partition."""
+    out = str(tmp_path / "tier_1d")
+    write_tier(feats.repartitionByRange(4, "conv_id"), out)
+    write_tier(feats.repartitionByRange(4, "conv_id"), out, mode="append")
+    assert compact(spark, out, max_records_per_file=10) is not None
+
+    stats = list_snapshots(out)[-1]["file_stats"]
+    by_day: dict = {}
+    for rel, s in stats.items():
+        by_day.setdefault(rel.split("/")[1], []).append(s["conv_id"])
+    multi = {d: b for d, b in by_day.items() if len(b) > 1}
+    assert multi, "compaction produced no multi-file partitions to check"
+    for bounds in multi.values():
+        bounds.sort()
+        for (_, hi), (lo2, _) in zip(bounds, bounds[1:]):
+            assert hi <= lo2, f"overlapping conv ranges after compact: {bounds}"
+
+    conv = _pdf(feats)["conv_id"].iloc[0]
+    full = read_tier(spark, out)
+    pruned = read_tier(spark, out, conv_id=conv)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert pruned.count() == full.filter(full.conv_id == conv).count() > 0
