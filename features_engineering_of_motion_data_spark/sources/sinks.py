@@ -129,6 +129,7 @@ def _commit(
     partitions: dict[str, list[int]],
     parent: str | None,
     expired: list[str] | None = None,
+    table_schema: str | None = None,
 ) -> str:
     """Atomically write the next snapshot manifest; returns its snapshot id.
 
@@ -153,6 +154,9 @@ def _commit(
                     # footer read
                     file_stats[rel] = prior_stats.get(rel) or _file_stats(fp)
     snap_id = hashlib.sha256("\n".join(listing).encode()).hexdigest()[:16]
+    if table_schema is None and snaps:
+        # metadata-only commits (compact, expire) carry the schema forward
+        table_schema = snaps[-1].get("table_schema")
     manifest = {
         "seq": seq,
         "snapshot_id": snap_id,
@@ -160,6 +164,7 @@ def _commit(
         "partitions": partitions,
         "expired_partitions": sorted(expired or []),
         "file_stats": file_stats,
+        "table_schema": table_schema,
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     os.makedirs(os.path.join(path, _SNAP_DIR), exist_ok=True)
@@ -177,16 +182,20 @@ def write_tier(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     present in ``df`` (dynamic-partition-overwrite semantics, expressed as a
     manifest swap — the replaced commits' files stay on disk for time
     travel).  ``mode="append"`` adds this commit's files alongside them.
+
+    Schema evolution is Iceberg-style: each commit records the writing
+    frame's schema in its manifest, and :func:`read_tier` reads with the
+    resolved snapshot's schema — files written before a column was added
+    yield NULL for it (parquet schema-on-read clipping), and time travel to
+    a pre-evolution snapshot reads the old shape.  No ``mergeSchema`` footer
+    sweep — at 10¹²-turn scale the schema lives in metadata, not in an
+    all-files footer merge.
     """
     parent = _resolve_manifest(path, None)
     seq = parent["seq"] + 1 if parent else 0
     dest = os.path.join(path, f"commit={seq}")
-    (
-        df.withColumn("bucket_date", F.to_date("bucket_start"))
-        .write.mode("overwrite")
-        .partitionBy("bucket_date")
-        .parquet(dest)
-    )
+    full = df.withColumn("bucket_date", F.to_date("bucket_start"))
+    full.write.mode("overwrite").partitionBy("bucket_date").parquet(dest)
     written = sorted(
         n.split("=", 1)[1] for n in os.listdir(dest) if n.startswith("bucket_date=")
     )
@@ -196,7 +205,12 @@ def write_tier(df: DataFrame, path: str, mode: str = "overwrite") -> str:
             partitions[d] = partitions[d] + [seq]
         else:
             partitions[d] = [seq]
-    return _commit(path, partitions, parent["snapshot_id"] if parent else None)
+    return _commit(
+        path,
+        partitions,
+        parent["snapshot_id"] if parent else None,
+        table_schema=full.schema.json(),
+    )
 
 
 def _norm_bound(v):
@@ -294,6 +308,15 @@ def read_tier(
                 if keep:
                     kept.append(os.path.join(d, fn))
         sources = kept
+    reader = spark.read.option("basePath", path)
+    schema_json = manifest.get("table_schema")
+    if schema_json:
+        # Iceberg-style schema evolution: the snapshot's recorded schema is
+        # the read schema; files predating an added column yield NULL for it
+        # (parquet schema-on-read), with no mergeSchema footer sweep
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
     if not sources:
         # every file pruned: empty frame with the table schema (cheap — one
         # footer read off the first live file)
@@ -303,14 +326,9 @@ def read_tier(
             for f in sorted(os.listdir(first_dir))
             if f.endswith(".parquet")
         )
-        df = (
-            spark.read.option("basePath", path)
-            .parquet(first_file)
-            .drop("commit")
-            .filter(F.lit(False))
-        )
+        df = reader.parquet(first_file).drop("commit").filter(F.lit(False))
     else:
-        df = spark.read.option("basePath", path).parquet(*sources).drop("commit")
+        df = reader.parquet(*sources).drop("commit")
     return _apply_read_filters(df, conv_id, bucket_range)
 
 

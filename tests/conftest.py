@@ -43,4 +43,6 @@ def tiny_pdf(tiny_path) -> pd.DataFrame:
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return os.path.join(TESTDATA, "sf0.001")
+    # override with SPARK_GRAFT_TEST_SF=sf0.01 to run the driver-mimic
+    # contract at the driver's own scale
+    return os.path.join(TESTDATA, os.environ.get("SPARK_GRAFT_TEST_SF", "sf0.001"))

@@ -277,3 +277,32 @@ def test_compact_preserves_data_skipping(spark, feats, tmp_path):
     pruned = read_tier(spark, out, conv_id=conv)
     assert len(pruned.inputFiles()) < len(full.inputFiles())
     assert pruned.count() == full.filter(full.conv_id == conv).count() > 0
+
+
+def test_schema_evolution_add_column(spark, feats, tmp_path):
+    """Iceberg-style schema evolution: a commit that adds a column makes the
+    table read with the new schema (NULL for pre-evolution files — parquet
+    schema-on-read, no mergeSchema sweep), while time travel to an earlier
+    snapshot reads the old shape; pruning composes with the evolved schema."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "tier_1d")
+    snap1 = write_tier(feats, out)
+    evolved = feats.limit(5).withColumn("quality_flag", F.lit("ok"))
+    write_tier(evolved, out, mode="append")
+
+    cur = read_tier(spark, out)
+    assert "quality_flag" in cur.columns
+    n_old, n_new = feats.count(), 5
+    assert cur.count() == n_old + n_new
+    assert cur.filter(cur.quality_flag.isNull()).count() == n_old
+    assert cur.filter(cur.quality_flag == "ok").count() == n_new
+
+    old = read_tier(spark, out, snapshot_id=snap1)
+    assert "quality_flag" not in old.columns
+    assert old.count() == n_old
+
+    conv = _pdf(feats)["conv_id"].iloc[0]
+    pt = read_tier(spark, out, conv_id=conv)
+    assert "quality_flag" in pt.columns
+    assert pt.count() == cur.filter(cur.conv_id == conv).count() > 0
