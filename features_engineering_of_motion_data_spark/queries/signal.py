@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .events import DAY_US, HOUR_US, _base, _bucket
+from .sqlexact import split_dbl
 
 
 def _dec(col):
@@ -98,7 +99,7 @@ WITH c AS (
 SELECT user_id AS conv_id, bucket_us,
        COUNT(*) AS n_pairs,
        CAST(SUM(dt) AS BIGINT) AS span_us,
-       CAST(SUM(CAST(prev_c + c AS HUGEINT) * CAST(dt AS HUGEINT)) AS DOUBLE)
+       {split_dbl("SUM(CAST(prev_c + c AS HUGEINT) * CAST(dt AS HUGEINT))")}
          / CAST(CAST(SUM(dt) AS HUGEINT) * 2 AS DOUBLE) AS twa_cents
 FROM pairs
 GROUP BY 1, 2
@@ -149,7 +150,7 @@ def q44_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q44_SQL = """
+_Q44_SQL = f"""
 WITH c AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          CAST(round(value * 100, 0) AS BIGINT) AS c
@@ -169,11 +170,11 @@ WITH c AS (
   FROM lagged GROUP BY 1
 )
 SELECT conv_id, n,
-       CAST(CAST(n AS HUGEINT) * n * sxy
+       {split_dbl('''CAST(n AS HUGEINT) * n * sxy
               - CAST(n AS HUGEINT) * s1 * (sh + st)
-              + CAST(n - 1 AS HUGEINT) * s1 * s1 AS DOUBLE)
-         / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * s2
-              - CAST(s1 AS HUGEINT) * s1) AS DOUBLE) AS r1
+              + CAST(n - 1 AS HUGEINT) * s1 * s1''')}
+         / {split_dbl('''CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * s2
+              - CAST(s1 AS HUGEINT) * s1)''')} AS r1
 FROM g
 WHERE n >= 3
   AND CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * s2
@@ -247,10 +248,10 @@ WITH c AS (
   FROM idx GROUP BY 1, 2
 )
 SELECT conv_id, bucket_us, n,
-       CAST(CAST(s_dc AS HUGEINT) * CAST(s_dc AS HUGEINT) AS DOUBLE) AS power_dc,
-       CAST(CAST(nyq AS HUGEINT) * CAST(nyq AS HUGEINT) AS DOUBLE) AS power_nyquist,
-       CAST(CAST(qre AS HUGEINT) * CAST(qre AS HUGEINT)
-            + CAST(qim AS HUGEINT) * CAST(qim AS HUGEINT) AS DOUBLE) AS power_quarter
+       {split_dbl("CAST(s_dc AS HUGEINT) * CAST(s_dc AS HUGEINT)")} AS power_dc,
+       {split_dbl("CAST(nyq AS HUGEINT) * CAST(nyq AS HUGEINT)")} AS power_nyquist,
+       {split_dbl('''CAST(qre AS HUGEINT) * CAST(qre AS HUGEINT)
+            + CAST(qim AS HUGEINT) * CAST(qim AS HUGEINT)''')} AS power_quarter
 FROM g
 """
 
@@ -305,7 +306,7 @@ def q46_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q46_SQL = """
+_Q46_SQL = f"""
 WITH c AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          epoch_us(ts) - lag(epoch_us(ts))
@@ -321,9 +322,9 @@ WITH c AS (
   FROM gaps GROUP BY 1
 )
 SELECT gaps.user_id AS conv_id, gaps.ts_us, gaps.event_id, gaps.gap_us, g.n_gaps,
-       CAST(CAST(gaps.gap_us AS HUGEINT) * g.n_gaps - s1 AS DOUBLE)
-         / sqrt(CAST(CAST(g.n_gaps AS HUGEINT) * s2
-                     - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) AS z
+       {split_dbl("CAST(gaps.gap_us AS HUGEINT) * g.n_gaps - s1")}
+         / sqrt({split_dbl('''CAST(g.n_gaps AS HUGEINT) * s2
+                     - CAST(s1 AS HUGEINT) * s1''')}) AS z
 FROM gaps JOIN g ON gaps.user_id = g.user_id
 WHERE g.n_gaps >= 3
   AND CAST(g.n_gaps AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 > 0
@@ -444,12 +445,9 @@ WITH c AS (
   FROM pairs GROUP BY 1, 2
 )
 SELECT conv_id, bucket_us, n_pairs,
-       CAST(CAST(n_pairs AS HUGEINT) * sxy
-              - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-         / (sqrt(CAST(CAST(n_pairs AS HUGEINT) * sxx
-                      - CAST(sx AS HUGEINT) * sx AS DOUBLE))
-            * sqrt(CAST(CAST(n_pairs AS HUGEINT) * syy
-                        - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS corr_value_gap
+       {split_dbl("CAST(n_pairs AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy")}
+         / (sqrt({split_dbl("CAST(n_pairs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx")})
+            * sqrt({split_dbl("CAST(n_pairs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy")})) AS corr_value_gap
 FROM g
 WHERE n_pairs >= 3
   AND CAST(n_pairs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
@@ -517,8 +515,8 @@ WITH c AS (
   FROM c GROUP BY 1, 2
 )
 SELECT conv_id, bucket_us, n,
-       CAST(CAST(n AS HUGEINT) * sty - CAST(st AS HUGEINT) * sy AS DOUBLE)
-         / CAST(CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st AS DOUBLE)
+       {split_dbl("CAST(n AS HUGEINT) * sty - CAST(st AS HUGEINT) * sy")}
+         / {split_dbl("CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st")}
          AS slope_cents_per_us
 FROM g
 WHERE n >= 3

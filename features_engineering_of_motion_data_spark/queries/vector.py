@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .sqlexact import split_dbl
 from .text import _docs, _shingles, _with_tokens
 
 QUANT = 10_000
@@ -717,7 +718,7 @@ WITH q AS (
   GROUP BY 1, 2, 3
 ), scored AS (
   SELECT d.vec_id, d.label, d.c_label,
-         (CAST(ca.ns AS DOUBLE) / CAST(ca.cn AS DOUBLE)
+         ({split_dbl("ca.ns")} / CAST(ca.cn AS DOUBLE)
           - 2.0 * CAST(d.dot AS DOUBLE)) / CAST(ca.cn AS DOUBLE) AS f
   FROM dots d JOIN centagg ca ON ca.c_label = d.c_label
 ), assigned AS (
