@@ -137,19 +137,32 @@ def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _shingles(_with_tokens(_docs(spark, sf_dir)))
     # minhash signature: for each permutation p, min over grams of
-    # xxhash64(p, gram) — vectorized as explode over a small literal array
-    perms = F.array(*[F.lit(i) for i in range(MINHASH_PERMS)])
-    sig = (
-        g.select("doc_id", "gram", F.explode(perms).alias("p"))
-        .withColumn("h", F.xxhash64("p", "gram"))
-        .groupBy("doc_id", "p")
-        .agg(F.min("h").alias("mh"))
+    # xxhash64(p, gram) — all 32 permutations as separate min-aggregate
+    # expressions over ONE hash agg (the q29 SimHash pattern): zero row
+    # amplification, one shuffle of #gram rows with map-side partials,
+    # instead of exploding grams×32 (48M rows at sf0.1, 11.5 s → ~4 s)
+    sig = g.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(p), F.col("gram"))).alias(f"mh{p}")
+            for p in range(MINHASH_PERMS)
+        ]
     )
-    # LSH: band id = p div LSH_BAND_ROWS; bucket key = hash of the band rows
+    # LSH: band key = hash of the band's LSH_BAND_ROWS signature slots,
+    # stacked to (doc_id, band, bkey) rows — #docs × #bands, tiny
+    n_bands = MINHASH_PERMS // LSH_BAND_ROWS
+    band_keys = [
+        F.xxhash64(
+            F.lit(b),
+            *[F.col(f"mh{b * LSH_BAND_ROWS + r}") for r in range(LSH_BAND_ROWS)],
+        ).alias(f"bk{b}")
+        for b in range(n_bands)
+    ]
+    stack = ", ".join(f"{b}, bk{b}" for b in range(n_bands))
     band = (
-        sig.withColumn("band", (F.col("p") / F.lit(LSH_BAND_ROWS)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.xxhash64(F.sort_array(F.collect_list(F.struct("p", "mh")))).alias("bkey"))
+        sig.select("doc_id", *band_keys)
+        .selectExpr(
+            "doc_id", f"stack({n_bands}, {stack}) as (band, bkey)"
+        )
     )
     a = band.alias("a")
     b = band.alias("b")
