@@ -11,11 +11,11 @@ IN=tests/data/transcripts_bench4x.parquet
 H4G='{"spark.sql.adaptive.enabled": "false", "spark.driver.extraJavaOptions": "-XX:+UseSerialGC", "spark.driver.memory": "4g"}'
 i=0
 while true; do
-  SPARK_GRAFT_EXTRA_CONF="$H4G" python BENCH/run_scaling.py --pin --reps 1 --cores 4 --parts-mult 4 --conf-tag h4g4x --wait-idle 6 --input "$IN"
-  SPARK_GRAFT_EXTRA_CONF="$H4G" python BENCH/run_scaling.py --pin --reps 1 --cores 4 --parts-mult 4 --conf-tag h4g4x --wait-idle 6 --input "$IN"
-  SPARK_GRAFT_EXTRA_CONF="$H4G" python BENCH/run_scaling.py --pin --reps 1 --cores 1,4 --parts-mult 4 --conf-tag h4g4x --wait-idle 6 --input "$IN"
+  SPARK_GRAFT_EXTRA_CONF="$H4G" python BENCH/run_scaling.py --pin --reps 1 --cores 4 --parts-mult 4 --conf-tag h4g4x --wait-idle 2 --input "$IN"
+  SPARK_GRAFT_EXTRA_CONF="$H4G" python BENCH/run_scaling.py --pin --reps 1 --cores 4 --parts-mult 4 --conf-tag h4g4x --wait-idle 2 --input "$IN"
+  SPARK_GRAFT_EXTRA_CONF="$H4G" python BENCH/run_scaling.py --pin --reps 1 --cores 1,4 --parts-mult 4 --conf-tag h4g4x --wait-idle 2 --input "$IN"
   if [ $((i % 3)) -eq 2 ]; then
-    SPARK_GRAFT_EXTRA_CONF="$H4G" python BENCH/run_scaling.py --pin --reps 1 --cores 8,2 --parts-mult 4 --conf-tag h4g4x --wait-idle 6 --input "$IN"
+    SPARK_GRAFT_EXTRA_CONF="$H4G" python BENCH/run_scaling.py --pin --reps 1 --cores 8,2 --parts-mult 4 --conf-tag h4g4x --wait-idle 2 --input "$IN"
   fi
   i=$((i + 1))
 done
