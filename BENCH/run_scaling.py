@@ -41,8 +41,31 @@ def wait_idle(max_load: float, timeout_s: float = 900.0) -> None:
         time.sleep(10)
 
 
+def _parse_child(out: subprocess.CompletedProcess) -> tuple[float, int, float | None]:
+    for line in out.stdout.splitlines():
+        if line.startswith("MEASURE"):
+            f = line.split()
+            # cpu-seconds column added later; old format has 4 fields
+            return float(f[2]), int(f[3]), (float(f[4]) if len(f) > 4 else None)
+    raise RuntimeError(f"child failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def _child_cmd(
+    cores: int, input_path: str, pin: bool, parts_mult: int, cpu_list: str | None
+) -> list[str]:
+    prefix = ["taskset", "-c", cpu_list or f"0-{cores - 1}"] if pin else []
+    return prefix + [
+        sys.executable, CHILD, str(cores), input_path, REPO,
+        str(parts_mult * cores),
+    ]
+
+
 def measure(
-    cores: int, input_path: str, pin: bool = False, parts_mult: int = 1
+    cores: int,
+    input_path: str,
+    pin: bool = False,
+    parts_mult: int = 1,
+    cpu_list: str | None = None,
 ) -> tuple[float, int, float | None]:
     """pin=True runs the child under taskset on `cores` CPUs so the WHOLE JVM
     (GC, shuffle, I/O threads — not just task slots) is bounded to N cores:
@@ -52,21 +75,46 @@ def measure(
     standard multiple-waves-per-core layout that bin-packs the hot-conv
     partition skew (max/mean 1.35 at 8 hash buckets on the bench corpus)
     instead of eating it in a single wave."""
-    prefix = ["taskset", "-c", f"0-{cores - 1}"] if pin else []
     out = subprocess.run(
-        prefix
-        + [sys.executable, CHILD, str(cores), input_path, REPO,
-           str(parts_mult * cores)],
+        _child_cmd(cores, input_path, pin, parts_mult, cpu_list),
         capture_output=True,
         text=True,
         cwd=REPO,
     )
-    for line in out.stdout.splitlines():
-        if line.startswith("MEASURE"):
-            f = line.split()
-            # cpu-seconds column added later; old format has 4 fields
-            return float(f[2]), int(f[3]), (float(f[4]) if len(f) > 4 else None)
-    raise RuntimeError(f"child failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    return _parse_child(out)
+
+
+def measure_simultaneous(
+    a: int, b: int, input_path: str, parts_mult: int
+) -> dict[int, tuple[float, int, float | None]]:
+    """Run the N-core and 4N-core children AT THE SAME TIME on DISJOINT
+    pinned core sets (N on cpus [0, N), 4N on cpus [N, 5N)).
+
+    This is the same-window design taken to its limit: the host's
+    minute-scale frequency throttling — the dominant noise on this VM, which
+    hits the two arms of a back-to-back pair in different minutes — applies
+    to both arms over the SAME interval, so it cancels in the in-pair ratio.
+    The residual bias is shared memory bandwidth while both run, which slows
+    BOTH arms (a real co-located executor pair shares a node's bandwidth the
+    same way), and the shorter 4N arm finishing first, which gifts the N arm
+    unshared bandwidth for its tail — both push the measured ratio DOWN, so
+    a passing ratio is conservative."""
+    procs = {}
+    for cores, lo in ((a, 0), (b, a)):
+        procs[cores] = subprocess.Popen(
+            _child_cmd(cores, input_path, True, parts_mult,
+                       f"{lo}-{lo + cores - 1}"),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=REPO,
+        )
+    out = {}
+    for cores, p in procs.items():
+        stdout, stderr = p.communicate()
+        done = subprocess.CompletedProcess(p.args, p.returncode, stdout, stderr)
+        out[cores] = _parse_child(done)
+    return out
 
 
 def main() -> None:
@@ -86,6 +134,11 @@ def main() -> None:
     ap.add_argument("--parts-mult", type=int, default=1,
                     help="shuffle partitions = mult x cores (records kept "
                          "per mult; >1 smooths hash-bucket skew via waves)")
+    ap.add_argument("--simultaneous", action="store_true",
+                    help="run BOTH arms of each N->4N pair at the same time "
+                         "on disjoint pinned core sets — the host-frequency "
+                         "window cancels exactly inside the pair (implies "
+                         "--pin; --cores must be exactly N,4N)")
     ap.add_argument(
         "--input",
         default=os.path.join(REPO, "tests/data/transcripts_bench.parquet"),
@@ -123,22 +176,42 @@ def main() -> None:
             samples = prior.get("samples", [])
             points = prior.get("feature_points")
     invocation = int(time.time())  # tags same-window sample pairs
-    for rep in range(args.reps):
-        for c in cores:  # interleave configs within each round
+    if args.simultaneous:
+        a, b = cores
+        assert b == 4 * a, "--simultaneous needs --cores N,4N"
+        for rep in range(args.reps):
             if args.wait_idle is not None:
                 wait_idle(args.wait_idle)
-            dt, pts, cpu = measure(c, args.input, pin=args.pin,
-                                   parts_mult=args.parts_mult)
-            runs[c].append(dt)
-            if cpu is not None:
-                cpus.setdefault(c, []).append(cpu)
-                samples.append({"cores": c, "wall_s": round(dt, 2),
-                                "cpu_s": round(cpu, 1),
-                                "pair": f"{invocation}:{rep}",
-                                "t": int(time.time())})
-            points = pts
-            print(f"round {rep} local[{c}]: {dt:.1f}s "
-                  f"(cpu {cpu:.1f}s, {pts} points)", flush=True)
+            res = measure_simultaneous(a, b, args.input, args.parts_mult)
+            for c, (dt, pts, cpu) in res.items():
+                runs[c].append(dt)
+                if cpu is not None:
+                    cpus.setdefault(c, []).append(cpu)
+                    samples.append({"cores": c, "wall_s": round(dt, 2),
+                                    "cpu_s": round(cpu, 1),
+                                    "pair": f"{invocation}:{rep}",
+                                    "sim": True,
+                                    "t": int(time.time())})
+                points = pts
+                print(f"round {rep} sim local[{c}]: {dt:.1f}s "
+                      f"(cpu {cpu:.1f}s, {pts} points)", flush=True)
+    else:
+        for rep in range(args.reps):
+            for c in cores:  # interleave configs within each round
+                if args.wait_idle is not None:
+                    wait_idle(args.wait_idle)
+                dt, pts, cpu = measure(c, args.input, pin=args.pin,
+                                       parts_mult=args.parts_mult)
+                runs[c].append(dt)
+                if cpu is not None:
+                    cpus.setdefault(c, []).append(cpu)
+                    samples.append({"cores": c, "wall_s": round(dt, 2),
+                                    "cpu_s": round(cpu, 1),
+                                    "pair": f"{invocation}:{rep}",
+                                    "t": int(time.time())})
+                points = pts
+                print(f"round {rep} local[{c}]: {dt:.1f}s "
+                      f"(cpu {cpu:.1f}s, {pts} points)", flush=True)
 
     best = {c: min(ts) for c, ts in runs.items() if ts}
     all_cores = sorted(best)
@@ -159,10 +232,17 @@ def main() -> None:
     for x in samples:
         impossible = x["wall_s"] < x["cpu_s"] / x["cores"] * 0.99
         x["flag"] = "impossible" if impossible else None
-        if not impossible:
+        # simultaneous-pair samples share memory bandwidth with their
+        # partner arm by design — valid for the in-pair ratio, but not
+        # comparable to solo samples: keep them out of the solo minima
+        if not impossible and not x.get("sim"):
             awall[x["cores"]] = min(awall.get(x["cores"], float("inf")), x["wall_s"])
     for x in samples:  # quiet = within 5% of the arm's audited best
-        if x["flag"] is None and x["wall_s"] <= awall[x["cores"]] * 1.05:
+        if (
+            x["flag"] is None
+            and not x.get("sim")
+            and x["wall_s"] <= awall[x["cores"]] * 1.05
+        ):
             quiet[x["cores"]] = quiet.get(x["cores"], 0) + 1
     aeffs = {
         f"{a}->{b}": round(awall[a] / (4 * awall[b]), 3)
@@ -181,20 +261,25 @@ def main() -> None:
         if x.get("pair") and x["flag"] is None:
             by_pair.setdefault(x["pair"], []).append(x)
     pair_effs: dict[str, list[float]] = {}
+    sim_pair_effs: dict[str, list[float]] = {}
     for grp in by_pair.values():
         arms = {x["cores"]: x["wall_s"] for x in grp}
+        is_sim = any(x.get("sim") for x in grp)
         for a in sorted(arms):
             if 4 * a in arms:
-                pair_effs.setdefault(f"{a}->{4 * a}", []).append(
+                dest = sim_pair_effs if is_sim else pair_effs
+                dest.setdefault(f"{a}->{4 * a}", []).append(
                     round(arms[a] / (4 * arms[4 * a]), 3)
                 )
     med = lambda v: sorted(v)[len(v) // 2] if len(v) % 2 else round(  # noqa: E731
         (sorted(v)[len(v) // 2 - 1] + sorted(v)[len(v) // 2]) / 2, 3
     )
-    paired = {
+    stats = lambda d: {  # noqa: E731
         k: {"n_pairs": len(v), "median": med(v), "best": max(v), "all": sorted(v)}
-        for k, v in pair_effs.items()
+        for k, v in d.items()
     }
+    paired = stats(pair_effs)
+    paired_sim = stats(sim_pair_effs)
     result = {
         "input": os.path.basename(args.input),
         # which measurement child produced the samples: the staged cascade
@@ -221,6 +306,10 @@ def main() -> None:
         "wall_s_best_audited": {str(c): round(v, 2) for c, v in sorted(awall.items())},
         "efficiency_Nx4_audited": aeffs,
         "efficiency_Nx4_paired": paired,
+        # simultaneous disjoint-core pairs: the host-frequency window cancels
+        # exactly; shared bandwidth + the N arm's unshared tail both bias the
+        # ratio DOWN, so these are conservative (see measure_simultaneous)
+        "efficiency_Nx4_paired_sim": paired_sim,
         # samples within 5% of each arm's audited best (>=3 per arm = the
         # "quiet window actually observed, repeatedly" evidence standard)
         "quiet_samples_within_5pct": {str(c): n for c, n in sorted(quiet.items())},
