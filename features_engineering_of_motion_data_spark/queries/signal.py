@@ -524,6 +524,363 @@ WHERE n >= 3
 """
 
 
+# --- q51: skewness + excess kurtosis per (conv, 1h bucket) -------------------
+
+
+def q51_moments_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third/fourth standardized moments per (conv, 1d bucket) — skewness and
+    excess kurtosis, the distribution-shape features of the time-domain canon
+    (Figo et al. 2010 §3.1) that A1–A7 don't cover.
+
+    Exactness: the n-scaled central moments are exact integers in the
+    sufficient stats s1..s4 —
+    ``M2 = n·s2 − s1²``, ``M3 = n²·s3 − 3n·s1·s2 + 2s1³``,
+    ``M4 = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3s1⁴`` —
+    and the scale factors cancel exactly in the standardized forms:
+    ``g1 = m3/m2^{3/2} = M3/M2^{3/2}`` and ``g2 = m4/m2² − 3 = M4/M2² − 3``,
+    leaving pinned double sequences (correctly-rounded decimal→double casts,
+    hardware sqrt, one division, one subtraction) mirrored in the oracle.
+
+    Headroom: the largest term, ``3·s1⁴ ≤ 3·(n·c_max)⁴``, stays inside
+    decimal(38,0)/HUGEINT for ``n·c_max < 7.6×10⁹`` — at cent scale 5×10⁴
+    that is ~1.5×10⁵ turns per (conv, 1d) bucket (~1.8 turns/s sustained),
+    above any real conversation; denser signals roll up at finer tiers first.
+
+    Scale shape: ONE hash agg on (conv, bucket) with map-side partials —
+    a single shuffle; the moment algebra is post-aggregation scalar math.
+    """
+    c = F.col("c")
+    g = (
+        _base(spark, sf_dir)
+        .groupBy(
+            F.col("user_id").alias("conv_id"),
+            _bucket(F.col("ts_us"), DAY_US).alias("bucket_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(_dec(c) * _dec(c)).alias("s2"),
+            F.sum(_dec(c) * _dec(c) * _dec(c)).alias("s3"),
+            F.sum(_dec(c) * _dec(c) * _dec(c) * _dec(c)).alias("s4"),
+        )
+    )
+    n = _dec(F.col("n"))
+    s1 = _dec(F.col("s1"))
+    m2 = n * F.col("s2") - s1 * s1
+    m3 = n * n * F.col("s3") - n * s1 * F.col("s2") * 3 + s1 * s1 * s1 * 2
+    m4 = (
+        n * n * n * F.col("s4")
+        - n * n * s1 * F.col("s3") * 4
+        + n * s1 * s1 * F.col("s2") * 6
+        - s1 * s1 * s1 * s1 * 3
+    )
+    m2d = m2.cast("double")
+    return g.filter((F.col("n") >= 3) & (m2 > 0)).select(
+        "conv_id",
+        "bucket_us",
+        "n",
+        (m3.cast("double") / (F.sqrt(m2d) * m2d)).alias("skewness"),
+        (m4.cast("double") / (m2d * m2d) - F.lit(3.0)).alias("kurtosis_excess"),
+    )
+
+
+_Q51_SQL = f"""
+WITH c AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(ts) % {DAY_US} AS bucket_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), g AS (
+  SELECT user_id AS conv_id, bucket_us,
+         COUNT(*) AS n,
+         SUM(c) AS s1,
+         SUM(CAST(c AS HUGEINT) * c) AS s2,
+         SUM(CAST(c AS HUGEINT) * c * c) AS s3,
+         SUM(CAST(c AS HUGEINT) * c * c * c) AS s4
+  FROM c GROUP BY 1, 2
+), m AS (
+  SELECT conv_id, bucket_us, n,
+         CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS m2,
+         CAST(n AS HUGEINT) * n * s3
+           - CAST(n AS HUGEINT) * s1 * s2 * 3
+           + CAST(s1 AS HUGEINT) * s1 * s1 * 2 AS m3,
+         CAST(n AS HUGEINT) * n * n * s4
+           - CAST(n AS HUGEINT) * n * s1 * s3 * 4
+           + CAST(n AS HUGEINT) * s1 * s1 * s2 * 6
+           - CAST(s1 AS HUGEINT) * s1 * s1 * s1 * 3 AS m4
+  FROM g
+)
+SELECT conv_id, bucket_us, n,
+       {split_dbl("m3")} / (sqrt({split_dbl("m2")}) * {split_dbl("m2")})
+         AS skewness,
+       {split_dbl("m4")} / ({split_dbl("m2")} * {split_dbl("m2")}) - 3.0
+         AS kurtosis_excess
+FROM m
+WHERE n >= 3 AND m2 > 0
+"""
+
+
+# --- q52: exact median / IQR of values per (conv, 1h bucket) ------------------
+
+
+def q52_value_median_iqr_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 and interquartile range of the value channel per
+    (conv, 1h bucket) — median and IQR are the outlier-robust location/spread
+    features of the time-domain canon (Figo et al. 2010 §3.1), complementing
+    the moment-based A1–A4.
+
+    Same pinned linear-interpolation machinery as q41 (rank window + one
+    hash agg), partitioned per bucket.  Quantile fractions 0.25/0.5/0.75 are
+    exact binary, so ``idx = (n−1)·p`` is computed exactly in both engines;
+    the IQR subtraction is one further correctly-rounded double op mirrored
+    in the oracle.
+
+    Scale shape: one rank window + one hash agg on (conv, bucket) — a
+    single shuffle; per-group sort cost is bounded by bucket cardinality
+    (the same bound the tier algebra already assumes).
+    """
+    d = _base(spark, sf_dir).withColumn(
+        "bucket_us", _bucket(F.col("ts_us"), HOUR_US)
+    )
+    wrank = Window.partitionBy("user_id", "bucket_us").orderBy(
+        "c", "ts_us", "event_id"
+    )
+    r = d.select(
+        "user_id",
+        "bucket_us",
+        "c",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id", "bucket_us"))
+        .alias("n"),
+    )
+
+    def pick(p: float):
+        idx = (F.col("n") - 1).cast("double") * F.lit(p)
+        lo = F.floor(idx).cast("long")
+        x_lo = F.max(F.when(F.col("rn") == lo + 1, F.col("c")))
+        x_hi = F.max(F.when(F.col("rn") == lo + 2, F.col("c")))
+        return x_lo.cast("double") + (
+            F.coalesce(x_hi, x_lo).cast("double") - x_lo.cast("double")
+        ) * (F.max(idx) - F.max(lo.cast("double")))
+
+    g = r.groupBy(F.col("user_id").alias("conv_id"), "bucket_us").agg(
+        F.max("n").alias("n"),
+        pick(0.25).alias("p25_cents"),
+        pick(0.5).alias("median_cents"),
+        pick(0.75).alias("p75_cents"),
+    )
+    return g.select(
+        "conv_id",
+        "bucket_us",
+        "n",
+        "p25_cents",
+        "median_cents",
+        "p75_cents",
+        (F.col("p75_cents") - F.col("p25_cents")).alias("iqr_cents"),
+    )
+
+
+def _q52_pick(p: str, val: str = "c") -> str:
+    lo = f"CAST(floor(CAST(n - 1 AS DOUBLE) * {p}) AS BIGINT)"
+    x_lo = f"MAX(CASE WHEN rn = {lo} + 1 THEN {val} END)"
+    x_hi = f"MAX(CASE WHEN rn = {lo} + 2 THEN {val} END)"
+    return (
+        f"CAST({x_lo} AS DOUBLE)"
+        f" + (CAST(COALESCE({x_hi}, {x_lo}) AS DOUBLE) - CAST({x_lo} AS DOUBLE))"
+        f" * (MAX(CAST(n - 1 AS DOUBLE) * {p}) - MAX(floor(CAST(n - 1 AS DOUBLE) * {p})))"
+    )
+
+
+_Q52_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS bucket_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), r AS (
+  SELECT user_id, bucket_us, c,
+         row_number() OVER (PARTITION BY user_id, bucket_us
+                            ORDER BY c, ts_us, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, bucket_us) AS n
+  FROM c
+), g AS (
+  SELECT user_id AS conv_id, bucket_us,
+         MAX(n) AS n,
+         {_q52_pick("0.25")} AS p25_cents,
+         {_q52_pick("0.5")} AS median_cents,
+         {_q52_pick("0.75")} AS p75_cents
+  FROM r GROUP BY 1, 2
+)
+SELECT conv_id, bucket_us, n, p25_cents, median_cents, p75_cents,
+       p75_cents - p25_cents AS iqr_cents
+FROM g
+"""
+
+
+# --- q53: waveform length (total variation) per (conv, 1h bucket) -------------
+
+
+def q53_waveform_length_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform length — ``Σ|Δc|`` over consecutive in-bucket samples — the
+    cumulative-variation feature of the motion/EMG time-domain canon (a
+    complexity measure combining amplitude and frequency in one number),
+    plus the mean absolute change ``WL / pairs``.
+
+    Exactness: WL is an exact BIGINT (abs of int differences, summed); the
+    single division is the one pinned double op.  Pairs follow q40/q43's
+    pair-in-bucket convention (both endpoints in the bucket).
+
+    Scale shape: one lag window + one hash agg, both partitioned on
+    conv_id — a single shuffle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("prev_c", F.lag("c").over(w))
+        .withColumn("prev_ts", F.lag("ts_us").over(w))
+        .filter(
+            F.col("prev_ts").isNotNull()
+            & (_bucket(F.col("prev_ts"), HOUR_US) == _bucket(F.col("ts_us"), HOUR_US))
+        )
+    )
+    g = d.groupBy(
+        F.col("user_id").alias("conv_id"),
+        _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.abs(F.col("c") - F.col("prev_c"))).alias("wl_cents"),
+    )
+    return g.select(
+        "conv_id",
+        "bucket_us",
+        "n_pairs",
+        "wl_cents",
+        (
+            F.col("wl_cents").cast("double") / F.col("n_pairs").cast("double")
+        ).alias("mean_abs_change"),
+    )
+
+
+_Q53_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), lagged AS (
+  SELECT user_id, ts_us, c,
+         lag(c) OVER w AS prev_c,
+         lag(ts_us) OVER w AS prev_ts
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), pairs AS (
+  SELECT user_id,
+         ts_us - ts_us % {HOUR_US} AS bucket_us,
+         abs(c - prev_c) AS adc
+  FROM lagged
+  WHERE prev_ts IS NOT NULL
+    AND prev_ts - prev_ts % {HOUR_US} = ts_us - ts_us % {HOUR_US}
+)
+SELECT user_id AS conv_id, bucket_us,
+       COUNT(*) AS n_pairs,
+       SUM(adc) AS wl_cents,
+       CAST(SUM(adc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_abs_change
+FROM pairs
+GROUP BY 1, 2
+"""
+
+
+# --- q54: median absolute deviation per conversation --------------------------
+
+
+def q54_mad_per_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation — ``median(|c − median(c)|)`` per
+    conversation — the robust-spread feature of the time-domain canon
+    (Figo et al. 2010 §3.1), immune to the stall outliers that inflate
+    stddev.  Inherently two-phase: the deviation channel only exists once
+    the median is known.
+
+    Exactness: cent values are exact in double (≪ 2⁵³), the interpolated
+    median is the q41/q52 pinned sequence, ``|c − med|`` is one
+    correctly-rounded subtraction + exact abs, and the second median ranks
+    doubles (identical total order in both engines) through the same pinned
+    interpolation.
+
+    Scale shape: two rank windows + one equi-join, ALL partitioned on
+    conv_id — the join and second window reuse the first window's
+    partitioning, so the whole query is one logical repartitioning by
+    conversation.
+    """
+    base = _base(spark, sf_dir)
+
+    def ipick(val, over):
+        idx = (F.col("n") - 1).cast("double") * F.lit(0.5)
+        lo = F.floor(idx).cast("long")
+        x_lo = F.max(F.when(F.col(over) == lo + 1, val))
+        x_hi = F.max(F.when(F.col(over) == lo + 2, val))
+        return x_lo.cast("double") + (
+            F.coalesce(x_hi, x_lo).cast("double") - x_lo.cast("double")
+        ) * (F.max(idx) - F.max(lo.cast("double")))
+
+    w1 = Window.partitionBy("user_id").orderBy("c", "ts_us", "event_id")
+    r1 = base.select(
+        "user_id",
+        "c",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    med = r1.groupBy("user_id").agg(
+        F.max("n").alias("n"), ipick(F.col("c"), "rn").alias("median_cents")
+    )
+    d = base.join(med, ["user_id"]).withColumn(
+        "dev", F.abs(F.col("c").cast("double") - F.col("median_cents"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("dev", "ts_us", "event_id")
+    r2 = d.select(
+        "user_id",
+        "n",
+        "median_cents",
+        "dev",
+        F.row_number().over(w2).alias("rn2"),
+    )
+    return (
+        r2.groupBy(F.col("user_id").alias("conv_id"))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("median_cents").alias("median_cents"),
+            ipick(F.col("dev"), "rn2").alias("mad_cents"),
+        )
+    )
+
+
+_Q54_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), r1 AS (
+  SELECT user_id, c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY c, ts_us, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM c
+), med AS (
+  SELECT user_id, MAX(n) AS n,
+         {_q52_pick("0.5")} AS median_cents
+  FROM r1 GROUP BY 1
+), d AS (
+  SELECT c.user_id, med.n, med.median_cents,
+         abs(CAST(c.c AS DOUBLE) - med.median_cents) AS dev,
+         row_number() OVER (PARTITION BY c.user_id
+                            ORDER BY abs(CAST(c.c AS DOUBLE) - med.median_cents),
+                                     c.ts_us, c.event_id) AS rn2
+  FROM c JOIN med USING (user_id)
+)
+SELECT user_id AS conv_id, MAX(n) AS n, MAX(median_cents) AS median_cents,
+       {_q52_pick("0.5", val="dev").replace("rn =", "rn2 =")} AS mad_cents
+FROM d GROUP BY 1
+"""
+
+
 QUERIES = {
     "q43_time_weighted_avg_1h": q43_time_weighted_avg_1h,
     "q44_autocorr_lag1": q44_autocorr_lag1,
@@ -532,6 +889,10 @@ QUERIES = {
     "q47_spectral_full": q47_spectral_full,
     "q48_cross_channel_corr_1d": q48_cross_channel_corr_1d,
     "q49_trend_slope_1h": q49_trend_slope_1h,
+    "q51_moments_1d": q51_moments_1d,
+    "q52_value_median_iqr_1h": q52_value_median_iqr_1h,
+    "q53_waveform_length_1h": q53_waveform_length_1h,
+    "q54_mad_per_conv": q54_mad_per_conv,
 }
 
 ORACLE_SQL = {
@@ -541,4 +902,8 @@ ORACLE_SQL = {
     "q46_zscore_anomalies": _Q46_SQL,
     "q48_cross_channel_corr_1d": _Q48_SQL,
     "q49_trend_slope_1h": _Q49_SQL,
+    "q51_moments_1d": _Q51_SQL,
+    "q52_value_median_iqr_1h": _Q52_SQL,
+    "q53_waveform_length_1h": _Q53_SQL,
+    "q54_mad_per_conv": _Q54_SQL,
 }
