@@ -1,4 +1,5 @@
 from .rollup_stream import (  # noqa: F401
+    stream_dedup_turns,
     stream_latency_stateful,
     stream_sessions,
     stream_tier_1m,

@@ -1,7 +1,7 @@
 """Structured-Streaming surface (SURVEY §2.10 — stretch beyond the batch
 north_rule, marked optional there).
 
-Three operators:
+Four operators:
 
 * :func:`stream_tier_1m` — watermarked tumbling-window continuous aggregate
   of the row-local channels (text_len, tool_cadence) per (conv, 1m bucket).
@@ -14,6 +14,10 @@ Three operators:
   (last_turn_idx, last_ts); each micro-batch emits latency rows.
 * :func:`stream_sessions` — conversation "episodes" via native
   ``session_window`` (gap-based), the streaming analogue of sessionization.
+* :func:`stream_dedup_turns` — exactly-once turn ingestion under
+  at-least-once delivery (``dropDuplicatesWithinWatermark`` on
+  (conv_id, turn_idx), state bounded by the watermark); chains upstream of
+  :func:`stream_tier_1m` as one query (pass ``watermark=None`` downstream).
 
 Late turns inside the watermark update their 1m bucket; buckets finalize once
 the watermark passes, after which the cascade (1m→1h→1d) is the existing
@@ -46,7 +50,9 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def stream_tier_1m(turns: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+def stream_tier_1m(
+    turns: DataFrame, watermark: str | None = "10 minutes"
+) -> DataFrame:
     """Streaming 1m-tier sufficient stats for the row-local channels.
 
     Emits the FULL sufficient-statistics contract (operators/features.py
@@ -59,8 +65,14 @@ def stream_tier_1m(turns: DataFrame, watermark: str = "10 minutes") -> DataFrame
     between non-negative values — identically what the batch pair-scan
     computes. first/last travel by ``min_by``/``max_by`` on turn_idx exactly
     as in the batch aggregation.
+
+    ``watermark=None`` inherits the upstream watermark instead of defining
+    one — required when chaining after another stateful operator (e.g.
+    :func:`stream_dedup_turns`): Spark forbids redefining the watermark
+    between stateful operators in one query.
     """
-    base = turns.withWatermark("ts", watermark).select(
+    wm = turns if watermark is None else turns.withWatermark("ts", watermark)
+    base = wm.select(
         "conv_id",
         "ts",
         "turn_idx",
@@ -152,6 +164,29 @@ def stream_latency_stateful(turns: DataFrame, watermark: str = "10 minutes") -> 
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def stream_dedup_turns(turns: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming analogue of the batch dedup stage (P4): exactly-once turn
+    ingestion under at-least-once delivery.  ``dropDuplicatesWithinWatermark``
+    keeps the FIRST arrival of each (conv_id, turn_idx) and drops
+    re-deliveries arriving within the watermark delay; per-key state is
+    evicted once the watermark passes the key's event time, so operator
+    memory is bounded by delivery skew, not stream length — the property
+    that makes this deployable on an unbounded 10¹²-turn feed.
+
+    Composes upstream of :func:`stream_tier_1m` (chained stateful operators,
+    Spark ≥ 3.5, append mode): dedup → windowed agg in ONE streaming query.
+
+    Contract vs batch ``dedup_turns``: batch breaks (conv, turn) ties by the
+    stable row order; streaming keeps the first ARRIVAL.  For re-deliveries
+    — bit-identical payloads, the case this operator exists for — the two
+    agree exactly (tested); for genuinely conflicting payloads the streaming
+    tie-break is arrival order by design.
+    """
+    return turns.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
     )
 
 

@@ -19,6 +19,7 @@ from features_engineering_of_motion_data_spark.sources.transcripts import (
     read_transcripts,
 )
 from features_engineering_of_motion_data_spark.streaming import (
+    stream_dedup_turns,
     stream_latency_stateful,
     stream_sessions,
     stream_tier_1m,
@@ -248,3 +249,95 @@ def test_watermark_late_data_and_append_finalization(spark, tmp_path):
     # the minute-60/61 windows
     assert base_us + 60 * minute_us not in byb.index
     assert base_us + 61 * minute_us not in byb.index
+
+
+def _two_batch_dup_dir(spark, stream_input, tmp_path):
+    """Duplicated feed as two mtime-ordered files: f1 = the clean input,
+    f2 = a redelivery of every turn_idx % 3 == 0 turn (identical payloads) —
+    with maxFilesPerTrigger=1 the redeliveries arrive one micro-batch LATER,
+    exercising cross-batch dedup state, not just in-batch distinct."""
+    import os
+    import shutil
+
+    clean = spark.read.parquet(stream_input)
+    d = str(tmp_path / "dup_in")
+    os.makedirs(d)
+    for name, df, mtime in (
+        ("f1", clean, 1_000_000),
+        ("f2", clean.filter(F.pmod(F.col("turn_idx"), F.lit(3)) == 0), 2_000_000),
+    ):
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(d, f"{name}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+    return d, clean
+
+
+def test_stream_dedup_drops_cross_batch_redeliveries(spark, stream_input, tmp_path):
+    """Exactly-once ingestion under at-least-once delivery: redeliveries in a
+    LATER micro-batch (inside the watermark) are dropped, and the deduped
+    stream equals the batch dedup of the clean input row-for-row — per-turn
+    text equality included."""
+    import shutil
+
+    d, clean = _two_batch_dup_dir(spark, stream_input, tmp_path)
+    shutil.rmtree("/tmp/ckpt_dedup", ignore_errors=True)
+    turns = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = (
+        _run_stream(spark, stream_dedup_turns(turns, watermark="1 hour"), "dedup")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = (
+        dedup_turns(clean)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts"):
+        a, b = got[c], want[c]
+        assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+
+def test_stream_dedup_feeds_tier(spark, stream_input, tmp_path):
+    """Chained stateful operators in ONE streaming query (dedup → windowed
+    agg, Spark ≥ 3.5 append mode): every bucket the chain finalizes over the
+    DUPLICATED feed is bit-equal to the batch 1m tier of the CLEAN input —
+    i.e. the dedup stage fully shields the aggregate from redelivery."""
+    import shutil
+
+    d, clean = _two_batch_dup_dir(spark, stream_input, tmp_path)
+    shutil.rmtree("/tmp/ckpt_dedup_tier", ignore_errors=True)
+    turns = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    chained = stream_tier_1m(
+        stream_dedup_turns(turns, watermark="5 minutes"), watermark=None
+    )
+    got = _run_stream(spark, chained, "dedup_tier").toPandas()
+    assert len(got) > 0
+    want = (
+        aggregate_tier(derive_channels(dedup_turns(clean)), "1m")
+        .filter(F.col("channel") != "inter_turn_latency")
+        .select("conv_id", "channel", "bucket_us", "n", "s1", "s2",
+                "min_raw", "max_raw")
+        .toPandas()
+    )
+    key = ["conv_id", "channel", "bucket_us"]
+    merged = got.merge(want, on=key, how="left", suffixes=("", "_b"))
+    # every emitted bucket exists in the batch tier and carries identical
+    # sufficient stats — a duplicate leaking through would inflate n/s1/s2
+    assert merged["n_b"].notna().all()
+    for c in ("n", "s1", "min_raw", "max_raw"):
+        assert (merged[c].to_numpy() == merged[f"{c}_b"].to_numpy()).all(), c
+    assert [int(v) for v in merged["s2"]] == [int(v) for v in merged["s2_b"]]
