@@ -13,6 +13,6 @@ cd "$(dirname "$0")/.." || exit 1
 IN=tests/data/transcripts_bench4x.parquet
 H4G='{"spark.sql.adaptive.enabled": "false", "spark.driver.extraJavaOptions": "-XX:+UseSerialGC", "spark.driver.memory": "4g"}'
 while true; do
-  SPARK_GRAFT_EXTRA_CONF="$H4G" python BENCH/run_scaling.py --pin --reps 2 --cores 4 --parts-mult 4 --conf-tag h4g4x --wait-idle 2 --input "$IN"
-  SPARK_GRAFT_EXTRA_CONF="$H4G" python BENCH/run_scaling.py --pin --reps 1 --cores 1,4 --parts-mult 4 --conf-tag h4g4x --wait-idle 2 --input "$IN"
+  SPARK_GRAFT_EXTRA_CONF="$H4G" python BENCH/run_scaling.py --pin --reps 2 --cores 4 --parts-mult 4 --conf-tag h4g4x --wait-idle 5 --input "$IN"
+  SPARK_GRAFT_EXTRA_CONF="$H4G" python BENCH/run_scaling.py --pin --reps 1 --cores 1,4 --parts-mult 4 --conf-tag h4g4x --wait-idle 5 --input "$IN"
 done
