@@ -243,7 +243,15 @@ def ensure_transcripts_parquet(scale: str = "tiny", data_dir: str | None = None)
         )
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
-        # bounded row groups so a local[32] scan parallelizes over one file
-        pq.write_table(table, tmp, row_group_size=131072)
+        # bounded row groups so a local[32] scan parallelizes over one file:
+        # splits can never be finer than row groups, and 131072-row groups
+        # (16 per bench file) cap the scan at 16 tasks — half the cores idle
+        # through the heaviest stage. 32768 rows ≈ 2.6 MB compressed mirrors
+        # the many-small-files layout of a real corpus. bench4x keeps the
+        # original 131072 layout: BENCH/scaling_pinned_p8_pgc32m.json's
+        # sample history was measured against that exact file, and its
+        # 1/4-core arms split on maxPartitionBytes=32m, not row groups.
+        row_group = 131072 if scale == "bench4x" else 32768
+        pq.write_table(table, tmp, row_group_size=row_group)
         os.replace(tmp, path)
     return path
