@@ -881,6 +881,186 @@ FROM d GROUP BY 1
 """
 
 
+# --- q55: EWMA smoothing per conversation ------------------------------------
+
+EWMA_ALPHA = 0.25  # dyadic: α, 1−α and α+(1−α)=1 are all exact in binary64
+
+
+def q55_ewma_value(
+    spark: SparkSession, sf_dir: str, alpha: float = EWMA_ALPHA
+) -> DataFrame:
+    """Exponentially weighted moving average of each conversation's signal —
+    the classic streaming smoother (InfluxDB ``exponential_moving_average``,
+    PromQL-adjacent): ``y_i = (1−α)·y_{i−1} + α·x_i``, ``y_0 = x_0`` under
+    the stable (ts, event_id) ordering.  One row out per event.
+
+    A linear recurrence is the one feature-family the tier algebra cannot
+    express (each output depends on the whole prefix), so this is a
+    deliberate Arrow-vectorized ``applyInPandas`` stage: pandas'
+    ``ewm(adjust=False).mean()`` runs the recurrence in C over each
+    conversation — one Arrow batch per group, zero per-row Python.
+
+    Exactness (why the driver hash matches a DuckDB *recursive CTE*): with
+    dyadic α both engines evaluate the identical IEEE-754 sequence
+    ``fl(fl((1−α)·y) + fl(α·x))`` — pandas ewm's trailing division is by
+    ``(1−α)+α = 1.0`` exactly, a no-op — verified bitwise over 5k random
+    steps against an explicit numpy loop on both engines.
+
+    Scale shape: one hash exchange on conv_id, then embarrassingly parallel
+    per-conversation kernels; group state is one float — a 10¹²-turn table
+    streams through in Arrow batches with nothing resident but the groups
+    in flight.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    one_minus = 1.0 - alpha
+    schema = StructType(
+        [
+            StructField("conv_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ewma_c", DoubleType()),
+        ]
+    )
+
+    def _ewma(pdf):
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+        out = pdf[["user_id", "event_id"]].rename(columns={"user_id": "conv_id"})
+        out["ewma_c"] = (
+            pdf["c"].astype("float64").ewm(alpha=alpha, adjust=False).mean()
+        )
+        # guard the exactness contract: pandas' trailing division must be
+        # by exactly 1.0 or the recurrence no longer mirrors the oracle
+        assert one_minus + alpha == 1.0, "alpha must make (1-α)+α exact"
+        return out
+
+    return (
+        _base(spark, sf_dir)
+        .filter(F.col("c").isNotNull())
+        .select("user_id", "event_id", "ts_us", "c")
+        .groupBy("user_id")
+        .applyInPandas(_ewma, schema)
+    )
+
+
+def _q55_sql(alpha: float = EWMA_ALPHA) -> str:
+    return f"""
+WITH RECURSIVE c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+  WHERE round(value * 100, 0) IS NOT NULL
+), r AS (
+  SELECT user_id, event_id, rn, CAST(c AS DOUBLE) AS ewma_c
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn,
+         r.ewma_c * {1.0 - alpha!r} + CAST(s.c AS DOUBLE) * {alpha!r}
+  FROM r JOIN c s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id AS conv_id, event_id, ewma_c FROM r
+"""
+
+
+_Q55_SQL = _q55_sql()
+
+
+# --- q56: heartbeat liveness coverage, 1h tier --------------------------------
+
+HEARTBEAT_US = 300_000_000  # each event asserts liveness for 5 minutes
+
+
+def q56_live_coverage_1h(
+    spark: SparkSession, sf_dir: str, lifetime_us: int = HEARTBEAT_US
+) -> DataFrame:
+    """Heartbeat/uptime aggregate (TimescaleDB ``heartbeat_agg`` face): each
+    event covers ``[ts, ts+lifetime)``; per (conv, 1h bucket) emit the µs of
+    the bucket covered by the UNION of its events' intervals (clipped to the
+    event's own bucket — no cross-bucket carry, documented deviation) plus
+    the uptime ratio.
+
+    Interval union without exploding: under the (ts, event_id) ordering an
+    event's *novel* contribution is ``max(0, end_i − max(ts_i, reach_i))``
+    where ``reach_i`` is the running max of prior clipped ends — a single
+    window max over preceding rows.  Everything is exact integer µs; the
+    only double is the final pinned division by the bucket span.
+
+    Scale shape: one window + one hash agg, both keyed on (conv, bucket) —
+    a single shuffle, salting-compatible (operators/skew.py) since the
+    window key equals the agg key.
+    """
+    b = _base(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"),
+    )
+    w = Window.partitionBy("user_id", "bucket_us").orderBy("ts_us", "event_id")
+    end = F.least(
+        F.col("ts_us") + F.lit(lifetime_us), F.col("bucket_us") + F.lit(HOUR_US)
+    )
+    d = b.withColumn("end_us", end).withColumn(
+        "reach",
+        F.max("end_us").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    contrib = F.greatest(
+        F.col("end_us")
+        - F.greatest(F.col("ts_us"), F.coalesce(F.col("reach"), F.col("ts_us"))),
+        F.lit(0).cast("long"),
+    )
+    return (
+        d.groupBy(
+            F.col("user_id").alias("conv_id"),
+            F.col("bucket_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_heartbeats"),
+            F.sum(contrib).alias("coverage_us"),
+            (F.sum(contrib).cast("double") / F.lit(float(HOUR_US))).alias(
+                "uptime_ratio"
+            ),
+        )
+    )
+
+
+def _q56_sql(lifetime_us: int = HEARTBEAT_US) -> str:
+    return f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS bucket_us
+  FROM events
+), e AS (
+  SELECT user_id, event_id, ts_us, bucket_us,
+         least(ts_us + {lifetime_us}, bucket_us + {HOUR_US}) AS end_us
+  FROM c
+), r AS (
+  SELECT user_id, bucket_us, ts_us, end_us,
+         max(end_us) OVER (PARTITION BY user_id, bucket_us
+                           ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS reach
+  FROM e
+)
+SELECT user_id AS conv_id, bucket_us,
+       COUNT(*) AS n_heartbeats,
+       CAST(SUM(greatest(end_us - greatest(ts_us, coalesce(reach, ts_us)), 0))
+            AS BIGINT) AS coverage_us,
+       CAST(SUM(greatest(end_us - greatest(ts_us, coalesce(reach, ts_us)), 0))
+            AS DOUBLE) / {float(HOUR_US)!r} AS uptime_ratio
+FROM r
+GROUP BY 1, 2
+"""
+
+
+_Q56_SQL = _q56_sql()
+
+
 QUERIES = {
     "q43_time_weighted_avg_1h": q43_time_weighted_avg_1h,
     "q44_autocorr_lag1": q44_autocorr_lag1,
@@ -893,6 +1073,8 @@ QUERIES = {
     "q52_value_median_iqr_1h": q52_value_median_iqr_1h,
     "q53_waveform_length_1h": q53_waveform_length_1h,
     "q54_mad_per_conv": q54_mad_per_conv,
+    "q55_ewma_value": q55_ewma_value,
+    "q56_live_coverage_1h": q56_live_coverage_1h,
 }
 
 ORACLE_SQL = {
@@ -906,4 +1088,6 @@ ORACLE_SQL = {
     "q52_value_median_iqr_1h": _Q52_SQL,
     "q53_waveform_length_1h": _Q53_SQL,
     "q54_mad_per_conv": _Q54_SQL,
+    "q55_ewma_value": _Q55_SQL,
+    "q56_live_coverage_1h": _Q56_SQL,
 }

@@ -68,6 +68,37 @@ def test_query_matches_duckdb(spark, sf_dir, duck, name):
         )
 
 
+def test_q55_q56_nondefault_params_match_duckdb(spark, sf_dir, duck):
+    """The tuning surface is an argument, not an edit (q37 pattern): a
+    non-default EWMA α and heartbeat lifetime regenerate the oracle SQL and
+    still match bitwise."""
+    from features_engineering_of_motion_data_spark.queries.signal import (
+        _q55_sql,
+        _q56_sql,
+        q55_ewma_value,
+        q56_live_coverage_1h,
+    )
+
+    cases = [
+        (q55_ewma_value(spark, sf_dir, alpha=0.5), _q55_sql(0.5)),
+        (q56_live_coverage_1h(spark, sf_dir, lifetime_us=60_000_000),
+         _q56_sql(60_000_000)),
+    ]
+    for got_df, sql in cases:
+        got = _canon(got_df.toPandas())
+        want = _canon(duck.execute(sql).df())
+        assert list(got.columns) == list(want.columns)
+        assert len(got) == len(want)
+        for c in got.columns:
+            a, b = got[c].to_numpy(), want[c].to_numpy()
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                a, b = a.astype(np.float64), b.astype(np.float64)
+                assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+            else:
+                assert (pd.Series(a).astype(object).values
+                        == pd.Series(b).astype(object).values).all(), c
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
