@@ -1061,6 +1061,59 @@ GROUP BY 1, 2
 _Q56_SQL = _q56_sql()
 
 
+# --- q57: LTTB shape-preserving downsample ------------------------------------
+
+LTTB_THRESHOLD = 50
+
+
+def q57_lttb_downsample(
+    spark: SparkSession, sf_dir: str, threshold: int = LTTB_THRESHOLD
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsample per conversation (the
+    TimescaleDB ``lttb`` hyperfunction): keep ``threshold`` of n points,
+    preserving visual shape — endpoints always kept, each interior bucket
+    contributing its largest-triangle point (kernels/lttb.py).
+
+    No ``oracle_sql`` entry — the selection recurrence (each bucket's pick
+    depends on the previous pick) has no SQL form; the driver records the
+    rows-only check and tests/test_lttb.py gates EXACT selection equality
+    against the independent scalar oracle (oracle/lttb.py) plus the
+    structural invariants (endpoints, count, subset-of-input, partition
+    invariance).
+
+    Scale shape: one hash exchange on conv_id, then per-conversation Arrow
+    batches; the kernel's loop is O(threshold) — bounded by the OUTPUT — so
+    a 10¹²-turn table streams through with per-group state of one index.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..kernels.lttb import lttb_select
+
+    schema = StructType(
+        [
+            StructField("conv_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("c", LongType()),
+        ]
+    )
+
+    def _lttb(pdf):
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+        idx = lttb_select(
+            pdf["ts_us"].to_numpy("int64"), pdf["c"].to_numpy("int64"), threshold
+        )
+        out = pdf.iloc[idx][["user_id", "event_id", "ts_us", "c"]]
+        return out.rename(columns={"user_id": "conv_id"})
+
+    return (
+        _base(spark, sf_dir)
+        .select("user_id", "event_id", "ts_us", "c")
+        .groupBy("user_id")
+        .applyInPandas(_lttb, schema)
+    )
+
+
 QUERIES = {
     "q43_time_weighted_avg_1h": q43_time_weighted_avg_1h,
     "q44_autocorr_lag1": q44_autocorr_lag1,
@@ -1075,6 +1128,7 @@ QUERIES = {
     "q54_mad_per_conv": q54_mad_per_conv,
     "q55_ewma_value": q55_ewma_value,
     "q56_live_coverage_1h": q56_live_coverage_1h,
+    "q57_lttb_downsample": q57_lttb_downsample,
 }
 
 ORACLE_SQL = {
