@@ -263,6 +263,155 @@ def q33_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q58: two-table ASOF join (union-merge form) ------------------------------
+
+
+def q58_asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 at table granularity: asof-join every non-purchase event to its
+    user's most recent purchase at-or-before it — the serving-path shape
+    ("enrich each probe row with the latest state row"), distinct from q07's
+    same-table window form.  The oracle is DuckDB's NATIVE ``ASOF JOIN``,
+    so Spark's construction is checked against an independent first-class
+    implementation of the semantics.
+
+    Spark-first construction (Spark has no asof operator): tag and UNION the
+    two tables, then one window pass per user carries the last purchase
+    forward (``last(…, ignorenulls)`` over unbounded-preceding..current);
+    probe rows then read their carried state.  Sort ties are pinned: at
+    equal ts the purchase sorts FIRST (tag 0 < 1) so "at-or-before"
+    includes same-instant purchases, matching ASOF's ``>=``.  Purchases are
+    pre-grouped per (user, ts) so ties on the build side are impossible in
+    either engine.
+
+    Scale shape: one exchange on user_id + one sort — the same single
+    shuffle a sort-merge asof would cost, with no skew-prone range join.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    probe = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("purchase_ts"),
+        F.lit(None).cast("long").alias("purchase_c"),
+    )
+    build = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.sum("c").alias("purchase_c"))
+        .select(
+            "user_id",
+            F.lit(None).cast("long").alias("event_id"),
+            "ts_us",
+            F.lit(0).alias("tag"),
+            F.col("ts_us").alias("purchase_ts"),
+            "purchase_c",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = probe.unionByName(build)
+    return (
+        u.withColumn("p_ts", F.last("purchase_ts", ignorenulls=True).over(w))
+        .withColumn("p_c", F.last("purchase_c", ignorenulls=True).over(w))
+        .filter((F.col("tag") == 1) & F.col("p_ts").isNotNull())
+        .select(
+            F.col("user_id").alias("conv_id"),
+            "event_id",
+            "ts_us",
+            F.col("p_ts").alias("purchase_ts"),
+            F.col("p_c").alias("purchase_c"),
+        )
+    )
+
+
+_Q58_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), probe AS (
+  SELECT user_id, event_id, ts_us FROM e WHERE event_type <> 'purchase'
+), build AS (
+  SELECT user_id, ts_us AS purchase_ts, CAST(SUM(c) AS BIGINT) AS purchase_c
+  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT probe.user_id AS conv_id, probe.event_id, probe.ts_us,
+       build.purchase_ts, build.purchase_c
+FROM probe ASOF JOIN build
+  ON probe.user_id = build.user_id AND probe.ts_us >= build.purchase_ts
+"""
+
+
+# --- q59: wide feature pivot ---------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q59_features_wide_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: the long event stream becomes the wide per-(conv, 1h bucket)
+    feature matrix a training pipeline feeds to a model — one column of
+    summed value per event type.  Uses Spark's ``pivot`` with an EXPLICIT
+    value list (no extra distinct-scan job); the oracle is the conditional
+    aggregation PIVOT compiles to.  Absent (conv, bucket, type) combinations
+    are NULL in both engines.
+    """
+    from .events import HOUR_US, _bucket
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    wide = (
+        e.groupBy(
+            F.col("user_id").alias("conv_id"),
+            _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"),
+        )
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.sum("c"))
+    )
+    return wide.select(
+        "conv_id",
+        "bucket_us",
+        *[F.col(t).alias(f"c_{t}") for t in _EVENT_TYPES],
+    )
+
+
+def _q59_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN c END) AS BIGINT) AS c_{t}"
+        for t in _EVENT_TYPES
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+)
+SELECT user_id AS conv_id,
+       ts_us - ts_us % 3600000000 AS bucket_us,
+       {cols}
+FROM e
+GROUP BY 1, 2
+"""
+
+
+_Q59_SQL = _q59_sql()
+
+
 QUERIES = {
     "q11_pricing_summary": q11_pricing_summary,
     "q12_revenue_by_nation": q12_revenue_by_nation,
@@ -274,6 +423,8 @@ QUERIES = {
     "q18_distinct_users": q18_distinct_users,
     "q32_intersect_users": q32_intersect_users,
     "q33_approx_distinct": q33_approx_distinct,
+    "q58_asof_join_purchases": q58_asof_join_purchases,
+    "q59_features_wide_1h": q59_features_wide_1h,
 }
 
 ORACLE_SQL = {
@@ -287,4 +438,6 @@ ORACLE_SQL = {
     "q18_distinct_users": _Q18_SQL,
     "q32_intersect_users": _Q32_SQL,
     # q33 rows-only: HLL sketches are engine-specific by design
+    "q58_asof_join_purchases": _Q58_SQL,
+    "q59_features_wide_1h": _Q59_SQL,
 }
