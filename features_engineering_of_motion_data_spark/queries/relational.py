@@ -279,13 +279,20 @@ def q58_asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward (``last(…, ignorenulls)`` over unbounded-preceding..current);
     probe rows then read their carried state.  Sort ties are pinned: at
     equal ts the purchase sorts FIRST (tag 0 < 1) so "at-or-before"
-    includes same-instant purchases, matching ASOF's ``>=``.  Purchases are
-    pre-grouped per (user, ts) so ties on the build side are impossible in
-    either engine.
+    includes same-instant purchases, matching ASOF's ``>=``.  Same-ts
+    purchases are summed per (user, ts) — in the ORACLE as a pre-group, in
+    Spark as a window sum over (user, ts) so the build side never needs its
+    own shuffle.
 
-    Scale shape: one exchange on user_id + one sort — the same single
-    shuffle a sort-merge asof would cost, with no skew-prone range join.
+    Scale shape: ONE explicit exchange on user_id serves both windows —
+    ``HashPartitioning(user_id)`` satisfies the (user, ts) grouping
+    window's clustering too (partitioning on a SUBSET of the required keys
+    still co-locates; plan-asserted in test_plans) — plus two in-partition
+    sorts.  That is strictly less data movement than a sort-merge asof's
+    shuffle-both-sides, with no skew-prone range join.
     """
+    from pyspark.sql import Window
+
     e = _t(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -293,38 +300,27 @@ def q58_asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         F.round(F.col("value") * 100, 0).cast("long").alias("c"),
     )
-    probe = e.filter(F.col("event_type") != "purchase").select(
+    is_purchase = F.col("event_type") == "purchase"
+    u = e.select(
         "user_id",
         "event_id",
         "ts_us",
-        F.lit(1).alias("tag"),
-        F.lit(None).cast("long").alias("purchase_ts"),
-        F.lit(None).cast("long").alias("purchase_c"),
-    )
-    build = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts_us")
-        .agg(F.sum("c").alias("purchase_c"))
-        .select(
-            "user_id",
-            F.lit(None).cast("long").alias("event_id"),
-            "ts_us",
-            F.lit(0).alias("tag"),
-            F.col("ts_us").alias("purchase_ts"),
-            "purchase_c",
-        )
-    )
-    from pyspark.sql import Window
-
+        (~is_purchase).cast("int").alias("tag"),  # purchases first at equal ts
+        F.when(is_purchase, F.col("c")).alias("pc"),
+    ).repartition("user_id")
+    # same-ts purchase total, computed in-partition (no build-side shuffle)
+    wg = Window.partitionBy("user_id", "ts_us")
+    u = u.withColumn("pc_g", F.sum("pc").over(wg))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_us", "tag", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    u = probe.unionByName(build)
+    p_row = F.when(F.col("tag") == 0, F.col("ts_us"))
+    p_val = F.when(F.col("tag") == 0, F.col("pc_g"))
     return (
-        u.withColumn("p_ts", F.last("purchase_ts", ignorenulls=True).over(w))
-        .withColumn("p_c", F.last("purchase_c", ignorenulls=True).over(w))
+        u.withColumn("p_ts", F.last(p_row, ignorenulls=True).over(w))
+        .withColumn("p_c", F.last(p_val, ignorenulls=True).over(w))
         .filter((F.col("tag") == 1) & F.col("p_ts").isNotNull())
         .select(
             F.col("user_id").alias("conv_id"),
@@ -362,10 +358,14 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 def q59_features_wide_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: the long event stream becomes the wide per-(conv, 1h bucket)
     feature matrix a training pipeline feeds to a model — one column of
-    summed value per event type.  Uses Spark's ``pivot`` with an EXPLICIT
-    value list (no extra distinct-scan job); the oracle is the conditional
-    aggregation PIVOT compiles to.  Absent (conv, bucket, type) combinations
-    are NULL in both engines.
+    summed value per event type.  Deliberately written as direct conditional
+    aggregation rather than ``DataFrame.pivot``: with an explicit value list
+    Spark's pivot still lowers to TWO aggregations (sum per (conv, bucket,
+    type), then ``pivotfirst`` per (conv, bucket)) — two exchanges where one
+    suffices.  The conditional-agg form is the plan you'd want at 100 TB
+    (single partial+final hash agg, one exchange; plan-asserted in
+    test_plans) and is exactly what the oracle runs.  Absent (conv, bucket,
+    type) combinations are NULL in both engines.
     """
     from .events import HOUR_US, _bucket
 
@@ -375,18 +375,14 @@ def q59_features_wide_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         F.round(F.col("value") * 100, 0).cast("long").alias("c"),
     )
-    wide = (
-        e.groupBy(
-            F.col("user_id").alias("conv_id"),
-            _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"),
-        )
-        .pivot("event_type", list(_EVENT_TYPES))
-        .agg(F.sum("c"))
-    )
-    return wide.select(
-        "conv_id",
-        "bucket_us",
-        *[F.col(t).alias(f"c_{t}") for t in _EVENT_TYPES],
+    return e.groupBy(
+        F.col("user_id").alias("conv_id"),
+        _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"),
+    ).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, F.col("c"))).alias(f"c_{t}")
+            for t in _EVENT_TYPES
+        ]
     )
 
 

@@ -140,3 +140,31 @@ def test_cascade_hot_path_has_no_python(spark, tiny_path):
     for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                  "MapInPandas"):
         assert node not in plan, f"unexpected Python operator {node} in hot path"
+
+
+def test_round3_signal_query_shapes(spark, sf_dir):
+    """Round-3 additions keep their documented scale shapes: q56/q58 are
+    single-exchange JVM-only plans; q55/q57 are single-exchange Arrow
+    group kernels (exactly one FlatMapGroupsInPandas, no row-wise Python)."""
+    from features_engineering_of_motion_data_spark.queries.relational import (
+        q58_asof_join_purchases,
+        q59_features_wide_1h,
+    )
+    from features_engineering_of_motion_data_spark.queries.signal import (
+        q55_ewma_value,
+        q56_live_coverage_1h,
+        q57_lttb_downsample,
+    )
+
+    for q in (q56_live_coverage_1h, q58_asof_join_purchases, q59_features_wide_1h):
+        plan = _plan(q(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") <= 1, q.__name__
+        for node in ("BatchEvalPython", "ArrowEvalPython",
+                     "FlatMapGroupsInPandas", "MapInPandas"):
+            assert node not in plan, f"{q.__name__}: {node}"
+
+    for q in (q55_ewma_value, q57_lttb_downsample):
+        plan = _plan(q(spark, sf_dir))
+        assert plan.count("FlatMapGroupsInPandas") == 1, q.__name__
+        assert plan.count("Exchange hashpartitioning") == 1, q.__name__
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
