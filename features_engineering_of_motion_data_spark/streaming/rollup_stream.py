@@ -167,6 +167,82 @@ def stream_latency_stateful(turns: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("ewma_len", T.DoubleType()),
+    ]
+)
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_turn", T.IntegerType()),
+        T.StructField("last_y", T.DoubleType()),
+    ]
+)
+
+
+def _ewma_fn_factory(alpha: float):
+    def _ewma_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Continuation trick: seeding pandas' C kernel with the carried
+        ``y`` as a synthetic first element makes ``ewm(adjust=False)`` emit
+        EXACTLY the continued recurrence — output[0] == y_prev, then
+        ``(1−α)·y + α·x`` per step — so micro-batch boundaries are
+        bit-invisible (tested vs the single-pass batch EWMA)."""
+        (conv_id,) = key
+        last_turn, last_y = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("turn_idx", kind="mergesort")
+            x = pdf["text"].str.len().fillna(0).astype("float64")
+            if last_y is not None:
+                seeded = pd.concat(
+                    [pd.Series([last_y], dtype="float64"), x], ignore_index=True
+                )
+                y = seeded.ewm(alpha=alpha, adjust=False).mean().to_numpy()[1:]
+            else:
+                y = x.ewm(alpha=alpha, adjust=False).mean().to_numpy()
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": pdf["turn_idx"].astype("int32").to_numpy(),
+                    "ewma_len": y,
+                }
+            )
+            last_turn = int(pdf["turn_idx"].iloc[-1])
+            last_y = float(y[-1])
+        if last_turn is not None:
+            state.update((last_turn, last_y))
+
+    return _ewma_fn
+
+
+def stream_ewma(
+    turns: DataFrame, alpha: float = 0.25, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming EWMA of per-turn text length (the streaming face of q55):
+    per-conv state is ONE float + the last turn index, so operator memory is
+    O(live conversations) regardless of stream length — the recurrence is
+    resumed, never recomputed, and the emitted smoothing is bit-equal to the
+    batch single-pass EWMA under ordered delivery."""
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _ewma_fn_factory(alpha),
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_dedup_turns(turns: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming analogue of the batch dedup stage (P4): exactly-once turn
     ingestion under at-least-once delivery.  ``dropDuplicatesWithinWatermark``

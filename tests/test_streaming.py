@@ -341,3 +341,76 @@ def test_stream_dedup_feeds_tier(spark, stream_input, tmp_path):
     for c in ("n", "s1", "min_raw", "max_raw"):
         assert (merged[c].to_numpy() == merged[f"{c}_b"].to_numpy()).all(), c
     assert [int(v) for v in merged["s2"]] == [int(v) for v in merged["s2_b"]]
+
+
+def test_stream_ewma_matches_batch_across_microbatches(spark, tmp_path):
+    """Streaming EWMA (stream_ewma): the recurrence resumes from one carried
+    float per conversation, so three mtime-ordered micro-batches produce
+    output BIT-EQUAL to the single-pass batch EWMA over the full series."""
+    import datetime
+    import os
+    import shutil
+
+    import numpy as np
+
+    from features_engineering_of_motion_data_spark.streaming import stream_ewma
+
+    rng = np.random.default_rng(11)
+    lens = {c: rng.integers(1, 400, 30) for c in ("cA", "cB")}
+
+    def rows(lo, hi):
+        out = []
+        for conv, ls in lens.items():
+            for i in range(lo, hi):
+                out.append(
+                    (
+                        conv,
+                        i,
+                        "user",
+                        "x" * int(ls[i]),
+                        None,
+                        datetime.datetime(2024, 1, 1)
+                        + datetime.timedelta(seconds=10 * i),
+                    )
+                )
+        return out
+
+    d = str(tmp_path / "ewma_in")
+    os.makedirs(d)
+    for name, (lo, hi), mtime in (
+        ("f1", (0, 9), 1_000_000),
+        ("f2", (9, 10), 2_000_000),  # single-row batch: boundary case
+        ("f3", (10, 30), 3_000_000),
+    ):
+        tmp = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows(lo, hi), TRANSCRIPT_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(d, f"{name}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    shutil.rmtree("/tmp/ckpt_ewma", ignore_errors=True)
+    turns = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = (
+        _run_stream(spark, stream_ewma(turns, alpha=0.25), "ewma")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 60
+
+    for conv, ls in lens.items():
+        want = (
+            pd.Series(ls.astype("float64"))
+            .ewm(alpha=0.25, adjust=False)
+            .mean()
+            .to_numpy()
+        )
+        g = got[got.conv_id == conv]["ewma_len"].to_numpy()
+        assert np.array_equal(g.view(np.int64), want.view(np.int64)), conv
