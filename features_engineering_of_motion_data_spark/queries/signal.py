@@ -1,13 +1,16 @@
 """Signal-analysis queries over the ``events`` fixture (round-3 additions).
 
-Four classic per-series analytics on top of the tier algebra — time-weighted
+Classic per-series analytics on top of the tier algebra — time-weighted
 average (the TimescaleDB continuous-aggregate staple for irregular samples),
 lag-1 autocorrelation, exact-twiddle DFT bins (the oracle-able subset of the
 frequency-domain feature canon; the full PSD lives in
-``operators/spectral.py`` with a numpy-bitwise pytest gate), and z-score
-anomaly detection against the 1h tier.
+``operators/spectral.py`` with a numpy-bitwise pytest gate), z-score
+anomaly detection against the 1h tier, higher moments / robust statistics
+(q51–q54), EWMA smoothing (q55, recursive-CTE oracle), heartbeat liveness
+coverage (q56), LTTB downsampling (q57, scalar-oracle pytest gate) and the
+mergeable base-2 percentile sketch (q60).
 
-All four follow the package's exact-integer bridging contract: every
+All follow the package's exact-integer bridging contract: every
 cross-engine aggregate is an exact integer (cent BIGINTs, widened to
 decimal(38,0)/HUGEINT before any product that could overflow int64 at
 production scale), and every emitted double is produced by a *pinned*
@@ -1061,6 +1064,95 @@ GROUP BY 1, 2
 _Q56_SQL = _q56_sql()
 
 
+# --- q60: mergeable percentile sketch (base-2 log histogram) -------------------
+
+
+def q60_percentile_sketch_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable percentile sketch per (conv, 1h bucket) — the TimescaleDB
+    ``percentile_agg``/UDDSketch face at γ=2: a log-width histogram whose
+    bucket is the value's binary exponent, counts summable across tiers
+    (1d sketch = Σ 1h sketches; gated in test_sketch.py), with a p50
+    estimate of relative error ≤ 2× read off the cumulative counts.
+
+    Exactness: the bucket index is computed WITHOUT floating log —
+    ``length(binary-string(|c|)) − 1`` = floor(log2|c|) exactly, in both
+    engines (Spark ``conv(x,10,2)``, DuckDB ``bin(x)``; zero gets bucket
+    −1).  The p50 estimate ``1.5·2^b`` is a dyadic double, exact in both.
+
+    Scale shape: one explicit exchange on (conv, bucket) serves the
+    3-key hash agg (subset-clustering rule) and both windows — no second
+    shuffle; sketch width is ≤64 rows per group regardless of data volume,
+    which is WHY a log histogram is the at-scale percentile story: state
+    is O(log range), not O(n), and merges are count additions.
+    """
+    e = _base(spark, sf_dir).select(
+        F.col("user_id").alias("conv_id"),
+        _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"),
+        "c",
+    )
+    lb = (
+        F.when(F.col("c") == 0, F.lit(-1))
+        .otherwise(F.length(F.conv(F.abs(F.col("c")).cast("string"), 10, 2)) - 1)
+        .cast("int")
+    )
+    sk = (
+        e.repartition("conv_id", "bucket_us")
+        .groupBy("conv_id", "bucket_us", lb.alias("log2_bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grp = Window.partitionBy("conv_id", "bucket_us")
+    cum = (
+        grp.orderBy("log2_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sk = (
+        sk.withColumn("cum", F.sum("cnt").over(cum))
+        .withColumn("n", F.sum("cnt").over(grp))
+        .withColumn(
+            "p50_bucket",
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("n"), F.col("log2_bucket"))
+            ).over(grp),
+        )
+    )
+    return sk.select(
+        "conv_id",
+        "bucket_us",
+        "log2_bucket",
+        "cnt",
+        "n",
+        (F.lit(1.5) * F.pow(F.lit(2.0), F.col("p50_bucket"))).alias("p50_est"),
+    )
+
+
+_Q60_SQL = f"""
+WITH e AS (
+  SELECT user_id AS conv_id,
+         epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS bucket_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), sk AS (
+  SELECT conv_id, bucket_us,
+         CASE WHEN c = 0 THEN -1
+              ELSE CAST(length(bin(abs(c))) - 1 AS INTEGER) END AS log2_bucket,
+         COUNT(*) AS cnt
+  FROM e
+  GROUP BY 1, 2, 3
+), w AS (
+  SELECT conv_id, bucket_us, log2_bucket, CAST(cnt AS BIGINT) AS cnt,
+         SUM(cnt) OVER (PARTITION BY conv_id, bucket_us ORDER BY log2_bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cnt) OVER (PARTITION BY conv_id, bucket_us) AS n
+  FROM sk
+)
+SELECT conv_id, bucket_us, log2_bucket, cnt, CAST(n AS BIGINT) AS n,
+       1.5 * power(2.0, MIN(CASE WHEN cum * 2 >= n THEN log2_bucket END)
+                        OVER (PARTITION BY conv_id, bucket_us)) AS p50_est
+FROM w
+"""
+
+
 # --- q57: LTTB shape-preserving downsample ------------------------------------
 
 LTTB_THRESHOLD = 50
@@ -1129,6 +1221,7 @@ QUERIES = {
     "q55_ewma_value": q55_ewma_value,
     "q56_live_coverage_1h": q56_live_coverage_1h,
     "q57_lttb_downsample": q57_lttb_downsample,
+    "q60_percentile_sketch_1h": q60_percentile_sketch_1h,
 }
 
 ORACLE_SQL = {
@@ -1144,4 +1237,5 @@ ORACLE_SQL = {
     "q54_mad_per_conv": _Q54_SQL,
     "q55_ewma_value": _Q55_SQL,
     "q56_live_coverage_1h": _Q56_SQL,
+    "q60_percentile_sketch_1h": _Q60_SQL,
 }

@@ -154,9 +154,11 @@ def test_round3_signal_query_shapes(spark, sf_dir):
         q55_ewma_value,
         q56_live_coverage_1h,
         q57_lttb_downsample,
+        q60_percentile_sketch_1h,
     )
 
-    for q in (q56_live_coverage_1h, q58_asof_join_purchases, q59_features_wide_1h):
+    for q in (q56_live_coverage_1h, q58_asof_join_purchases, q59_features_wide_1h,
+              q60_percentile_sketch_1h):
         plan = _plan(q(spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") <= 1, q.__name__
         for node in ("BatchEvalPython", "ArrowEvalPython",

@@ -1,0 +1,59 @@
+"""q60 percentile sketch: tier mergeability (the property that makes a log
+histogram a continuous-aggregate percentile story) and estimator sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from features_engineering_of_motion_data_spark.queries.signal import (
+    q60_percentile_sketch_1h,
+)
+
+DAY_US = 86_400_000_000
+
+
+def test_sketch_merges_to_1d_and_estimator_brackets_p50(spark, sf_dir):
+    sk = q60_percentile_sketch_1h(spark, sf_dir).toPandas()
+
+    # --- mergeability: 1d sketch == Σ of its 1h sketches (pure count adds)
+    merged = (
+        sk.assign(day_us=sk["bucket_us"] - sk["bucket_us"] % DAY_US)
+        .groupby(["conv_id", "day_us", "log2_bucket"], as_index=False)["cnt"]
+        .sum()
+    )
+
+    src = pd.read_parquet(f"{sf_dir}/events.parquet")
+    src["c"] = np.round(src["value"] * 100, 0).astype("int64")
+    ts_us = src["ts"].astype("datetime64[us]").astype("int64")
+    src["day_us"] = ts_us - ts_us % DAY_US
+    # exact integer bucket: bit length − 1 (independent of the engines' path)
+    src["log2_bucket"] = [
+        -1 if v == 0 else int(v).bit_length() - 1 for v in src["c"].abs()
+    ]
+    direct = (
+        src.groupby(["user_id", "day_us", "log2_bucket"], as_index=False)
+        .size()
+        .rename(columns={"user_id": "conv_id", "size": "cnt"})
+    )
+    key = ["conv_id", "day_us", "log2_bucket"]
+    m = merged.sort_values(key).reset_index(drop=True)
+    d = direct.sort_values(key).reset_index(drop=True)
+    assert len(m) == len(d)
+    assert (m[key].to_numpy() == d[key].to_numpy()).all()
+    assert (m["cnt"].to_numpy() == d["cnt"].to_numpy()).all()
+
+    # --- estimator: p50_est brackets the RANK median (smallest element with
+    # rank·2 ≥ n — what the cumulative-count pick estimates) within its
+    # guaranteed [0.75, 1.5) relative band
+    for (conv, bucket), g in src.assign(
+        bucket_us=ts_us - ts_us % 3_600_000_000
+    ).groupby(["user_id", "bucket_us"]):
+        row = sk[(sk.conv_id == conv) & (sk.bucket_us == bucket)]
+        assert not row.empty
+        est = row["p50_est"].iloc[0]
+        vals = np.sort(np.abs(g["c"].to_numpy()))
+        rank_med = float(vals[(len(vals) - 1) // 2])
+        if rank_med > 0:
+            ratio = est / rank_med
+            assert 0.75 < ratio <= 1.5, (conv, bucket, est, rank_med)
