@@ -39,6 +39,7 @@ from .operators.features import (  # noqa: E402,F401
 )
 from .operators.rollup import cascade, rollup_merge  # noqa: E402,F401
 from .sources.sinks import (  # noqa: E402,F401
+    apply_retention,
     compact,
     expire,
     list_snapshots,

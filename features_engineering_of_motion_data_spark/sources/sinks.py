@@ -486,3 +486,47 @@ def expire(spark, path: str, older_than) -> int:
                 shutil.rmtree(pdir)
     _commit(path, keep, manifest["snapshot_id"], expired=expired)
     return len(expired)
+
+
+def apply_retention(
+    spark: SparkSession,
+    root: str,
+    policy: dict[str, int | None],
+    now: datetime.date | datetime.datetime | str,
+    compact_small_files: bool = False,
+) -> dict[str, dict]:
+    """Cascading per-tier retention policy (TimescaleDB
+    ``add_retention_policy`` / InfluxDB retention-period face, applied
+    explicitly — a batch engine has no daemon; a production scheduler calls
+    this at its cadence).
+
+    ``policy`` maps tier name → days to keep (``None`` = keep forever), with
+    tier tables laid out as ``<root>/tier=<T>`` — the layout
+    ``jobs/rollup.py`` writes.  The canonical cascade keeps raw short and
+    each coarser tier longer (e.g. ``{"1m": 7, "1h": 90, "1d": None}``):
+    the data a tier expires remains SUMMARIZED in every coarser tier, which
+    is the whole point of the rollup cascade.
+
+    ``now`` is an explicit argument, not a wall-clock read — retention is
+    deterministic, replayable and testable.  With ``compact_small_files``
+    the surviving partitions of each touched tier are also compacted
+    (:func:`compact`) in the same pass.
+
+    Returns per-tier ``{"dropped_partitions": n, "compacted_snapshot": id}``.
+    """
+    if isinstance(now, str):
+        now = datetime.date.fromisoformat(now)
+    if isinstance(now, datetime.datetime):
+        now = now.date()
+    results: dict[str, dict] = {}
+    for tier, keep_days in policy.items():
+        p = os.path.join(root, f"tier={tier}")
+        out = {"dropped_partitions": 0, "compacted_snapshot": None}
+        if os.path.isdir(p):
+            if keep_days is not None:
+                cutoff = now - datetime.timedelta(days=int(keep_days))
+                out["dropped_partitions"] = expire(spark, p, cutoff)
+            if compact_small_files:
+                out["compacted_snapshot"] = compact(spark, p)
+        results[tier] = out
+    return results

@@ -306,3 +306,46 @@ def test_schema_evolution_add_column(spark, feats, tmp_path):
     pt = read_tier(spark, out, conv_id=conv)
     assert "quality_flag" in pt.columns
     assert pt.count() == cur.filter(cur.conv_id == conv).count() > 0
+
+
+def test_apply_retention_policy_cascade(spark, feats, tmp_path):
+    """apply_retention: the per-tier policy surface — raw kept short, coarser
+    tiers longer; expired days vanish from the short tier while remaining in
+    the long one; None = keep forever; deterministic via the explicit now."""
+    import datetime
+    import os
+
+    from features_engineering_of_motion_data_spark.sources.sinks import (
+        apply_retention,
+    )
+
+    root = str(tmp_path / "tiers")
+    for tier in ("1h", "1d"):
+        write_tier(feats, os.path.join(root, f"tier={tier}"))
+
+    days = sorted(
+        feats.toPandas()["bucket_start"].dt.date.unique()
+    )
+    assert len(days) >= 3, "fixture must span several days"
+    # cutoff chosen so the 1h tier drops everything before the last 2 days
+    now = days[-1] + datetime.timedelta(days=1)
+    res = apply_retention(
+        spark,
+        root,
+        {"1h": 3, "1d": None, "1m": 1},  # 1m table absent: must be a no-op
+        now=now,
+    )
+    expect_dropped = sum(1 for d in days if d < now - datetime.timedelta(days=3))
+    assert res["1h"]["dropped_partitions"] == expect_dropped > 0
+    assert res["1d"]["dropped_partitions"] == 0
+    assert res["1m"]["dropped_partitions"] == 0
+
+    kept_1h = read_tier(spark, os.path.join(root, "tier=1h")).toPandas()
+    full_1d = read_tier(spark, os.path.join(root, "tier=1d")).toPandas()
+    assert kept_1h["bucket_start"].dt.date.min() >= now - datetime.timedelta(days=3)
+    # the expired days remain summarized in the coarser tier
+    assert set(full_1d["bucket_start"].dt.date) == set(days)
+
+    # idempotent at the same clock
+    res2 = apply_retention(spark, root, {"1h": 3, "1d": None}, now=now)
+    assert res2["1h"]["dropped_partitions"] == 0
