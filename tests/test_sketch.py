@@ -57,3 +57,49 @@ def test_sketch_merges_to_1d_and_estimator_brackets_p50(spark, sf_dir):
         if rank_med > 0:
             ratio = est / rank_med
             assert 0.75 < ratio <= 1.5, (conv, bucket, est, rank_med)
+
+
+# --- q56 interval-union algebra, property-tested against brute force ---------
+
+
+def _coverage_brute(ts: list[int], lifetime: int, bucket: int, span: int) -> int:
+    """Covered µs in [bucket, bucket+span): brute-force boolean union."""
+    import numpy as np
+
+    marks = np.zeros(span, dtype=bool)
+    for t in ts:
+        lo, hi = max(t - bucket, 0), min(t - bucket + lifetime, span)
+        if hi > lo:
+            marks[lo:hi] = True
+    return int(marks.sum())
+
+
+def test_q56_window_algebra_equals_brute_union():
+    """The running-max contribution formula (novel part = max(0, end −
+    max(ts, reach))) equals the brute-force union for adversarial layouts:
+    nested intervals, duplicates, exact abutment, bucket-edge clipping."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    SPAN = 1000
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ts=st.lists(st.integers(0, SPAN - 1), min_size=1, max_size=30),
+        lifetime=st.integers(1, 400),
+    )
+    def run(ts, lifetime):
+        ts = sorted(ts)
+        # the q56 algebra, scalar transcription
+        reach = None
+        covered = 0
+        for t in ts:
+            end = min(t + lifetime, SPAN)
+            start = max(t, reach) if reach is not None else t
+            covered += max(0, end - start)
+            reach = end if reach is None else max(reach, end)
+        assert covered == _coverage_brute(ts, lifetime, 0, SPAN)
+
+    run()
