@@ -92,6 +92,16 @@ def parse_args(argv=None):
     p.add_argument("--num-parts", type=int, default=16)
     p.add_argument("--resume", action="store_true")
     p.add_argument(
+        "--archive",
+        action="store_true",
+        help="also write the compressed full-fidelity raw tier to "
+             "<output>/archive (delta-of-delta timestamps + Gorilla XOR "
+             "values per (conv, channel, 1h bucket)); its own scan of the "
+             "input — the staged stats pass cannot feed it because the "
+             "archive needs the turn-level rows the stage deliberately "
+             "aggregates away",
+    )
+    p.add_argument(
         "--incremental",
         action="store_true",
         help="refresh mode: if <output>/_input_manifest.json records a prior "
@@ -275,6 +285,42 @@ def _load_stage_meta(stage_dir: str, snapshot: str, args, finest: str):
     return None
 
 
+def _write_archive(spark, args, snapshot: str) -> None:
+    """Optional second product: the compressed full-fidelity raw tier
+    (SURVEY §2.7 C1/C2; operators/archive.py).  One dedicated scan —
+    partitioned by the conv_id hash range like the tiers, with a lineage
+    sidecar recording the snapshot and the measured compression ratio via
+    ``observe`` on the SAME write action (no re-read)."""
+    from pyspark.sql import Observation
+
+    from features_engineering_of_motion_data_spark.operators.archive import (
+        build_archive,
+    )
+
+    turns = read_transcripts(spark, args.input, snapshot_id=snapshot)
+    arch = build_archive(derive_channels(dedup_turns(turns)), tier="1h")
+    arch = arch.withColumn("part", _part_expr(args.num_parts))
+    obs = Observation()
+    arch = arch.observe(
+        obs,
+        F.count(F.lit(1)).alias("buckets"),
+        F.sum("n").alias("turn_points"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("encoded_bytes").alias("encoded_bytes"),
+    )
+    dest = os.path.join(args.output, "archive")
+    arch.write.mode("overwrite").partitionBy("part").parquet(dest)
+    m = {k: int(v or 0) for k, v in obs.get.items()}
+    m["snapshot_id"] = snapshot
+    m["ratio"] = (
+        round(m["encoded_bytes"] / m["raw_bytes"], 6) if m["raw_bytes"] else None
+    )
+    tmp = os.path.join(dest, "_archive_meta.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(m, f, sort_keys=True)
+    os.replace(tmp, os.path.join(dest, "_archive_meta.json"))
+
+
 def run(args) -> int:
     tiers = tuple(args.tiers.split(","))
     for t in tiers:
@@ -379,6 +425,8 @@ def run(args) -> int:
         os.rmdir(os.path.dirname(stage_dir))  # drop _stage/ itself if empty
     except OSError:
         pass
+    if args.archive:
+        _write_archive(spark, args, snapshot)
     # record the fully-processed snapshot — the diff base for the next
     # --incremental run (written for full runs too, so any full rollup
     # bootstraps later increments)
