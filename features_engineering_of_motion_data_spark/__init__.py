@@ -44,6 +44,7 @@ from .sources.sinks import (  # noqa: E402,F401
     expire,
     list_snapshots,
     read_tier,
+    register_tier_views,
     write_tier,
 )
 from .sources.transcripts import read_transcripts, resolve_snapshot  # noqa: E402,F401

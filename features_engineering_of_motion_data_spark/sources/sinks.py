@@ -530,3 +530,31 @@ def apply_retention(
                 out["compacted_snapshot"] = compact(spark, p)
         results[tier] = out
     return results
+
+
+def register_tier_views(
+    spark: SparkSession,
+    root: str,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    snapshot_ids: dict[str, str] | None = None,
+) -> list[str]:
+    """SQL face of the tier tables: one temp view per tier
+    (``tier_1m`` …) over :func:`read_tier`'s snapshot-resolved frame, so
+    downstream users query the engine's output with plain ``spark.sql`` —
+    Catalyst sees the same plan the DataFrame read produces (scan of the
+    resolved snapshot's files; filters/pruning push down through the view).
+
+    ``snapshot_ids`` optionally pins individual tiers AS OF a snapshot —
+    SQL-visible time travel.  Returns the created view names; tiers whose
+    table does not exist under ``<root>/tier=<T>`` are skipped.
+    """
+    created = []
+    for tier in tiers:
+        p = os.path.join(root, f"tier={tier}")
+        if not os.path.isdir(p):
+            continue
+        snap = (snapshot_ids or {}).get(tier)
+        name = f"tier_{tier}"
+        read_tier(spark, p, snapshot_id=snap).createOrReplaceTempView(name)
+        created.append(name)
+    return created

@@ -349,3 +349,41 @@ def test_apply_retention_policy_cascade(spark, feats, tmp_path):
     # idempotent at the same clock
     res2 = apply_retention(spark, root, {"1h": 3, "1d": None}, now=now)
     assert res2["1h"]["dropped_partitions"] == 0
+
+
+def test_register_tier_views_sql_face(spark, feats, tmp_path):
+    """SQL face: spark.sql over the registered views sees exactly what
+    read_tier sees, including AS-OF pinning per tier."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from features_engineering_of_motion_data_spark.sources.sinks import (
+        register_tier_views,
+    )
+
+    root = str(tmp_path / "tiers")
+    p1d = os.path.join(root, "tier=1d")
+    snap1 = write_tier(feats, p1d)
+    doctored = feats.withColumn("n", F.col("n") + F.lit(7))
+    write_tier(doctored, p1d)
+
+    assert register_tier_views(spark, root) == ["tier_1d"]  # 1m/1h absent
+    cur = spark.sql(
+        "SELECT SUM(n) AS sn, COUNT(*) AS c FROM tier_1d"
+    ).collect()[0]
+    base = _pdf(feats)
+    assert cur["c"] == len(base)
+    assert cur["sn"] == int(base["n"].sum()) + 7 * len(base)
+
+    # AS-OF pinning is SQL-visible
+    register_tier_views(spark, root, snapshot_ids={"1d": snap1})
+    old = spark.sql("SELECT SUM(n) AS sn FROM tier_1d").collect()[0]
+    assert old["sn"] == int(base["n"].sum())
+
+    # pruning pushes through the view: a conv_id filter in SQL matches
+    conv = base["conv_id"].iloc[0]
+    n_sql = spark.sql(
+        f"SELECT COUNT(*) AS c FROM tier_1d WHERE conv_id = '{conv}'"
+    ).collect()[0]["c"]
+    assert n_sql == int((base["conv_id"] == conv).sum())
