@@ -37,7 +37,7 @@ from .operators.features import (  # noqa: E402,F401
     features_from_turns,
     finalize_features,
 )
-from .operators.rollup import cascade, rollup_merge  # noqa: E402,F401
+from .operators.rollup import cascade, rollup_merge, rollup_merge_calendar  # noqa: E402,F401
 from .sources.sinks import (  # noqa: E402,F401
     apply_retention,
     compact,

@@ -39,8 +39,33 @@ def rollup_merge(stats: DataFrame, to_tier: str) -> DataFrame:
     buckets are strictly finer than ``to_tier`` (1m→1h, 1h→1d, 1m→1d).
     """
     step = F.lit(TIER_US[to_tier])
-    coarse = (F.col("bucket_us") - F.pmod(F.col("bucket_us"), step)).alias("_coarse")
+    coarse = F.col("bucket_us") - F.pmod(F.col("bucket_us"), step)
+    return _merge_to_coarse(stats, coarse)
 
+
+def rollup_merge_calendar(stats: DataFrame, unit: str = "month") -> DataFrame:
+    """Calendar-bucket rollup (``time_bucket('1 month', …)`` face): merge a
+    stats frame up to ``date_trunc`` units — month/quarter/year/week — whose
+    width is NOT a fixed number of microseconds, so the modulo bucketing of
+    :func:`rollup_merge` cannot express them.
+
+    Same exact-integer merge algebra, same single-shuffle shape; only the
+    coarse-bucket expression differs (``date_trunc`` on the UTC-pinned
+    session clock, emitted back as epoch µs).  Bit-identical along any merge
+    path — 1m→month ≡ 1d→month — because the algebra is associative and the
+    zc boundary window orders by the fine ``bucket_us`` either way
+    (tests/test_tiers_vs_oracle.py gates path independence).
+    """
+    if unit not in ("week", "month", "quarter", "year"):
+        raise KeyError(unit)
+    coarse = F.unix_micros(
+        F.date_trunc(unit, F.timestamp_micros(F.col("bucket_us")))
+    )
+    return _merge_to_coarse(stats, coarse)
+
+
+def _merge_to_coarse(stats: DataFrame, coarse) -> DataFrame:
+    coarse = coarse.alias("_coarse")
     w = Window.partitionBy("conv_id", "channel", "_coarse").orderBy("bucket_us")
     prev_last = F.lag("last_val").over(w)
     boundary = (

@@ -121,3 +121,78 @@ def test_partitioning_invariance(spark, tiny_path):
     for tier in ("1m", "1h", "1d"):
         a, b = outs[0][tier], outs[1][tier]
         pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_calendar_month_merge_path_independent_and_correct(spark):
+    """rollup_merge_calendar: month buckets from any fine tier agree
+    bit-for-bit (associativity incl. the zc boundary term), and the merged
+    sufficient statistics equal a direct pandas month aggregation."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from features_engineering_of_motion_data_spark.operators.channels import (
+        dedup_turns,
+        derive_channels,
+    )
+    from features_engineering_of_motion_data_spark.operators.features import (
+        aggregate_tier,
+    )
+    from features_engineering_of_motion_data_spark.operators.rollup import (
+        rollup_merge,
+        rollup_merge_calendar,
+    )
+    from features_engineering_of_motion_data_spark.sources.transcripts import (
+        TRANSCRIPT_SCHEMA,
+    )
+
+    # three months of synthetic turns for two convs, irregular cadence
+    rng = np.random.default_rng(5)
+    rows = []
+    for conv in ("m1", "m2"):
+        t = datetime.datetime(2024, 1, 15)
+        for i in range(400):
+            t += datetime.timedelta(hours=float(rng.integers(1, 12)))
+            rows.append((conv, i, "user", "y" * int(rng.integers(1, 300)),
+                         "search" if i % 3 == 0 else None, t))
+    turns = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    ch = derive_channels(dedup_turns(turns))
+    s1m = aggregate_tier(ch, "1m")
+
+    def _pdf(df):
+        p = df.toPandas()
+        p["s2"] = p["s2"].map(int)
+        return p.sort_values(
+            ["conv_id", "channel", "bucket_us"], kind="mergesort"
+        ).reset_index(drop=True)
+
+    via_1m = _pdf(rollup_merge_calendar(s1m, "month"))
+    via_1d = _pdf(rollup_merge_calendar(rollup_merge(s1m, "1d"), "month"))
+    pd.testing.assert_frame_equal(via_1m, via_1d, check_exact=True)
+
+    # month starts span Jan..May and are true calendar boundaries
+    starts = pd.to_datetime(via_1m["bucket_us"].unique(), unit="us")
+    assert all(s.day == 1 and s.time() == datetime.time() for s in starts)
+    assert len(starts) >= 3
+
+    # n/s1/s2/min/max vs a direct pandas month aggregation of the channels
+    chp = ch.toPandas()
+    ts = pd.to_datetime(chp["ts_us"], unit="us")
+    chp["m_us"] = (
+        ts.dt.tz_localize(None).dt.to_period("M").dt.start_time.astype("int64")
+        // 1000
+    )
+    direct = (
+        chp.groupby(["conv_id", "channel", "m_us"])
+        .agg(n=("x", "size"), s1=("x", "sum"), min_raw=("x", "min"),
+             max_raw=("x", "max"))
+        .reset_index()
+        .sort_values(["conv_id", "channel", "m_us"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert (via_1m["n"].to_numpy() == direct["n"].to_numpy()).all()
+    assert (via_1m["s1"].to_numpy() == direct["s1"].to_numpy()).all()
+    assert (via_1m["min_raw"].to_numpy() == direct["min_raw"].to_numpy()).all()
+    assert (via_1m["max_raw"].to_numpy() == direct["max_raw"].to_numpy()).all()
+    assert (via_1m["bucket_us"].to_numpy() == direct["m_us"].to_numpy()).all()
