@@ -1064,6 +1064,197 @@ GROUP BY 1, 2
 _Q56_SQL = _q56_sql()
 
 
+# --- q61: interpolated time-weighted average, 1h tier --------------------------
+
+
+def q61_interpolated_twa_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-interpolated TWA per (conv, 1h bucket) — TimescaleDB's
+    ``interpolated_average``: unlike q43 (which integrates only between
+    in-bucket samples), the integral runs over the FULL bucket span wherever
+    the series brackets it, with values at bucket edges linearly
+    interpolated from the straddling pair; buckets with no samples that lie
+    inside a long gap get a whole-bucket integral from that one pair.  No
+    extrapolation before a conversation's first or after its last sample.
+
+    Why this can still hash bitwise despite float interpolation: per bucket
+    there is at most ONE head segment (the unique pair entering the bucket's
+    first sample), ONE tail segment (the unique pair leaving its last) and
+    ONE full-span segment (the unique pair jumping it) — so no float SUM
+    over a data-dependent order ever happens.  Only the interior trapezoids
+    (many per bucket) are summed, and those use q43's exact-integer algebra.
+    The final combine is the pinned sequence
+    ``((head + interior) + tail) + full`` followed by one division; every
+    edge value is the pinned expression
+    ``c0 + (c1−c0)·((t−t0)/(t1−t0))`` evaluated identically in DuckDB.
+
+    Scale shape: one exchange on conv_id (lag window), a bounded explode —
+    one row per bucket boundary crossed, i.e. OUTPUT-sized, the same rows a
+    gap-fill would emit — and one hash agg.
+    """
+    H = HOUR_US
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        _base(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts_us").alias("t1"),
+            F.col("c").alias("c1"),
+            F.lag("ts_us").over(w).alias("t0"),
+            F.lag("c").over(w).alias("c0"),
+        )
+        .filter(F.col("t0").isNotNull())
+        .withColumn("b0", _bucket(F.col("t0"), H))
+        .withColumn("b1", _bucket(F.col("t1"), H))
+    )
+
+    # interior pairs: q43's exact-integer trapezoid, 2x-integral form
+    interior = (
+        pairs.filter(F.col("b0") == F.col("b1"))
+        .groupBy("user_id", F.col("b0").alias("bucket_us"))
+        .agg(
+            (
+                F.sum(_dec(F.col("c0") + F.col("c1")) * _dec(F.col("t1") - F.col("t0")))
+            ).alias("interior2")
+        )
+        .select("user_id", "bucket_us",
+                F.col("interior2").cast("double").alias("v2"),
+                F.lit("interior").alias("kind"))
+    )
+
+    # crossing pairs: explode at each bucket boundary they pass
+    dt = (F.col("t1") - F.col("t0")).cast("double")
+
+    def _v(t):  # pinned interpolation expression (mirrored in SQL verbatim)
+        return F.col("c0").cast("double") + (F.col("c1") - F.col("c0")).cast(
+            "double"
+        ) * ((t - F.col("t0")).cast("double") / dt)
+
+    # ALL crossing segments from one explode — tail of b0, full buckets
+    # strictly between, head of b1 — so the pairs frame is scanned once for
+    # the crossing kinds (plus once for the interiors), not once per kind
+    def _seg(bucket, v2, kind):
+        return F.struct(
+            bucket.cast("long").alias("bucket_us"),
+            v2.alias("v2"),
+            F.lit(kind).alias("kind"),
+        )
+
+    crossing = (
+        pairs.filter(F.col("b0") != F.col("b1"))
+        .withColumn("bounds", F.sequence(F.col("b0") + H, F.col("b1"), F.lit(H)))
+        .select(
+            "user_id",
+            F.explode(
+                F.concat(
+                    F.array(
+                        _seg(
+                            F.col("b0"),
+                            (F.col("c0").cast("double") + _v(F.col("b0") + H))
+                            * (F.col("b0") + H - F.col("t0")).cast("double"),
+                            "tail",
+                        ),
+                        _seg(
+                            F.col("b1"),
+                            (_v(F.col("b1")) + F.col("c1").cast("double"))
+                            * (F.col("t1") - F.col("b1")).cast("double"),
+                            "head",
+                        ),
+                    ),
+                    F.transform(
+                        F.expr("slice(bounds, 1, size(bounds) - 1)"),
+                        lambda bs: _seg(
+                            bs, (_v(bs) + _v(bs + H)) * F.lit(float(H)), "full"
+                        ),
+                    ),
+                )
+            ).alias("seg"),
+        )
+        .select("user_id", "seg.bucket_us", "seg.v2", "seg.kind")
+    )
+
+    segs = interior.unionByName(crossing)
+    pick = lambda k: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("kind") == k, F.col("v2"))), F.lit(0.0)
+    )
+    return (
+        segs.groupBy(F.col("user_id").alias("conv_id"), "bucket_us")
+        .agg(
+            (
+                (
+                    (pick("head") + pick("interior")) + pick("tail")
+                ) + pick("full")
+            ).alias("twa2")
+        )
+        .select(
+            "conv_id",
+            "bucket_us",
+            (F.col("twa2") / F.lit(float(2 * H))).alias("itwa_cents"),
+        )
+    )
+
+
+_Q61_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), pairs AS (
+  SELECT user_id,
+         lag(ts_us) OVER w AS t0, lag(c) OVER w AS c0,
+         ts_us AS t1, c AS c1
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), p AS (
+  SELECT *, t0 - t0 % {HOUR_US} AS b0, t1 - t1 % {HOUR_US} AS b1
+  FROM pairs WHERE t0 IS NOT NULL
+), interior AS (
+  SELECT user_id, b0 AS bucket_us,
+         {split_dbl("SUM(CAST(c0 + c1 AS HUGEINT) * CAST(t1 - t0 AS HUGEINT))")}
+           AS v2,
+         'interior' AS kind
+  FROM p WHERE b0 = b1 GROUP BY 1, 2
+), x AS (
+  SELECT * FROM p WHERE b0 <> b1
+), tail AS (
+  SELECT user_id, b0 AS bucket_us,
+         (CAST(c0 AS DOUBLE)
+          + (CAST(c0 AS DOUBLE) + CAST(c1 - c0 AS DOUBLE)
+             * (CAST(b0 + {HOUR_US} - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))))
+         * CAST(b0 + {HOUR_US} - t0 AS DOUBLE) AS v2,
+         'tail' AS kind
+  FROM x
+), head AS (
+  SELECT user_id, b1 AS bucket_us,
+         ((CAST(c0 AS DOUBLE) + CAST(c1 - c0 AS DOUBLE)
+           * (CAST(b1 - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)))
+          + CAST(c1 AS DOUBLE))
+         * CAST(t1 - b1 AS DOUBLE) AS v2,
+         'head' AS kind
+  FROM x
+), fullb AS (
+  SELECT user_id, bs AS bucket_us,
+         ((CAST(c0 AS DOUBLE) + CAST(c1 - c0 AS DOUBLE)
+           * (CAST(bs - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)))
+          + (CAST(c0 AS DOUBLE) + CAST(c1 - c0 AS DOUBLE)
+             * (CAST(bs + {HOUR_US} - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))))
+         * {float(HOUR_US)!r} AS v2,
+         'full' AS kind
+  FROM x, LATERAL unnest(range(b0 + {HOUR_US}, b1, {HOUR_US})) AS u(bs)
+), segs AS (
+  SELECT * FROM interior UNION ALL SELECT * FROM tail
+  UNION ALL SELECT * FROM head UNION ALL SELECT * FROM fullb
+)
+SELECT user_id AS conv_id, bucket_us,
+       (((coalesce(MAX(CASE WHEN kind = 'head' THEN v2 END), 0.0)
+          + coalesce(MAX(CASE WHEN kind = 'interior' THEN v2 END), 0.0))
+         + coalesce(MAX(CASE WHEN kind = 'tail' THEN v2 END), 0.0))
+        + coalesce(MAX(CASE WHEN kind = 'full' THEN v2 END), 0.0))
+       / {float(2 * HOUR_US)!r} AS itwa_cents
+FROM segs
+GROUP BY 1, 2
+"""
+
+
 # --- q60: mergeable percentile sketch (base-2 log histogram) -------------------
 
 
@@ -1222,6 +1413,7 @@ QUERIES = {
     "q56_live_coverage_1h": q56_live_coverage_1h,
     "q57_lttb_downsample": q57_lttb_downsample,
     "q60_percentile_sketch_1h": q60_percentile_sketch_1h,
+    "q61_interpolated_twa_1h": q61_interpolated_twa_1h,
 }
 
 ORACLE_SQL = {
@@ -1238,4 +1430,5 @@ ORACLE_SQL = {
     "q55_ewma_value": _Q55_SQL,
     "q56_live_coverage_1h": _Q56_SQL,
     "q60_percentile_sketch_1h": _Q60_SQL,
+    "q61_interpolated_twa_1h": _Q61_SQL,
 }

@@ -103,3 +103,56 @@ def test_q56_window_algebra_equals_brute_union():
         assert covered == _coverage_brute(ts, lifetime, 0, SPAN)
 
     run()
+
+
+# --- q61 semantics vs an independent numeric-integration oracle ---------------
+
+
+def test_q61_semantics_vs_numeric_integration(spark, sf_dir):
+    """Cross-engine bitwise agreement (driver contract) cannot catch a bug
+    both sides share; this gates the MEANING: per bucket, q61 equals the
+    piecewise-linear integral of the series over the bucket span divided by
+    the bucket width, computed here by independent np.interp evaluation."""
+    import numpy as np
+    import pandas as pd
+
+    from features_engineering_of_motion_data_spark.queries.signal import (
+        q61_interpolated_twa_1h,
+    )
+
+    H = 3_600_000_000
+    got = (
+        q61_interpolated_twa_1h(spark, sf_dir)
+        .toPandas()
+        .set_index(["conv_id", "bucket_us"])["itwa_cents"]
+        .sort_index()
+    )
+
+    src = pd.read_parquet(f"{sf_dir}/events.parquet")
+    src["ts_us"] = src["ts"].astype("datetime64[us]").astype("int64")
+    src["c"] = np.round(src["value"] * 100, 0).astype("int64")
+    want = {}
+    for uid, g in src.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        t = g["ts_us"].to_numpy("int64")
+        c = g["c"].to_numpy("float64")
+        rel = (t - t[0]).astype("float64")
+        for b in range((t[0] // H) * H, (t[-1] // H) * H + H, H):
+            lo, hi = max(b, t[0]), min(b + H, t[-1])
+            if hi <= lo:
+                continue
+            # exact piecewise-linear integral: trapezoid over the knots
+            # (samples + clipped edges) inside [lo, hi]
+            knots = np.unique(
+                np.concatenate(
+                    [[lo, hi], t[(t > lo) & (t < hi)]]
+                )
+            ).astype("int64")
+            vals = np.interp((knots - t[0]).astype("float64"), rel, c)
+            integral = np.sum((vals[1:] + vals[:-1]) * np.diff(knots) / 2.0)
+            want[(uid, b)] = integral / H
+    want = pd.Series(want).sort_index()
+    assert set(got.index) == set(want.index)
+    np.testing.assert_allclose(
+        got.to_numpy(), want.reindex(got.index).to_numpy(), rtol=1e-9
+    )
