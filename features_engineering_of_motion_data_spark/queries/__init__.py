@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import events, relational, signal, text, vector
 
-_MODULES = (events, relational, signal, text, vector)
+# Registry order = driver execution order.  The round-3 driver truncated its
+# correctness sweep at 50 queries, leaving the tail (then text/vector)
+# attested only by a stale round-2 artifact.  text/vector therefore go FIRST
+# so the least-recently-driver-verified block is always inside the window;
+# the events/relational/signal queries are the cheapest per-query and give
+# the sweep the best chance of finishing all of them too.
+_MODULES = (text, vector, events, relational, signal)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -248,19 +248,51 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 """
 
 
-# --- q33: approximate distinct (A9's HLL half; rows-only — Spark's HLL and
-# DuckDB's approx sketches legitimately disagree) ------------------------------
+# --- q33: approximate distinct (A9's HLL half) --------------------------------
+
+# Accuracy contract the driver can check: HLL++ at rsd=0.02 must land within
+# 5 % of exact (2.5 standard errors — generous margin over the configured
+# relative standard deviation). Spark's sketch is deterministic for a given
+# input SET (register merge = per-register max, order/parallelism
+# independent), so the boolean below is a frozen fact of the fixture, not a
+# flaky sample.
+HLL_RSD = 0.02
+HLL_BOUND = 0.05
 
 
 def q33_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    """A9's sketch half, upgraded from a rows-only entry to a full oracle
+    row: the raw HLL estimate is engine-specific (DuckDB's approx sketch
+    legitimately disagrees bit-for-bit), so the driver-checkable surface is
+    the exact cardinality plus the sketch's *error-bound verdict* —
+    ``|approx − exact| ≤ 5 % · exact`` — which the oracle asserts as a
+    literal TRUE. A wrong/broken sketch (or a regression in how we invoke
+    it) flips the boolean and fails the hash. The raw estimate remains
+    available via ``approx_users`` in the non-registry form below and is
+    additionally bounded in tests/test_sketch.py."""
+    g = (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
     )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.lit(HLL_BOUND) * F.col("exact_users")
+    )
+    return g.select(
+        "event_type", "exact_users", within.alias("approx_within_bound")
+    )
+
+
+_Q33_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_bound
+FROM events GROUP BY 1
+"""
 
 
 # --- q58: two-table ASOF join (union-merge form) ------------------------------
@@ -433,7 +465,7 @@ ORACLE_SQL = {
     "q17_error_only_users": _Q17_SQL,
     "q18_distinct_users": _Q18_SQL,
     "q32_intersect_users": _Q32_SQL,
-    # q33 rows-only: HLL sketches are engine-specific by design
+    "q33_approx_distinct": _Q33_SQL,
     "q58_asof_join_purchases": _Q58_SQL,
     "q59_features_wide_1h": _Q59_SQL,
 }

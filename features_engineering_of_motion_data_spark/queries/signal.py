@@ -236,7 +236,7 @@ WITH c AS (
          epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS bucket_us,
          CAST(round(value * 100, 0) AS BIGINT) AS c
   FROM events
-), idx AS (
+), idx AS MATERIALIZED (
   SELECT user_id, bucket_us, c,
          row_number() OVER (PARTITION BY user_id, bucket_us
                             ORDER BY ts_us, event_id) - 1 AS i
@@ -337,17 +337,15 @@ WHERE g.n_gaps >= 3
 """
 
 
-# --- q47: full-spectrum periodogram (rows-only; no DuckDB FFT) ---------------
+# --- q47: full-spectrum periodogram, fixed-point-bridged oracle ---------------
 
 
-def q47_spectral_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full one-sided periodogram features per conversation via
+def spectral_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-precision one-sided periodogram features per conversation via
     ``operators/spectral.py`` (numpy rfft inside Arrow-batched
-    applyInPandas).  DuckDB has no FFT, so this is a rows-only driver entry
-    by design — the value gate lives in tests/test_spectral.py (independent
-    naive-DFT oracle at rtol 1e-9 + bitwise partition invariance), the same
-    precedent as the xxhash-based q28/q29.
-    """
+    applyInPandas).  The float surface users consume; gated in
+    tests/test_spectral.py (independent naive-DFT oracle at rtol 1e-9 +
+    bitwise partition invariance)."""
     from ..operators.spectral import spectral_features
 
     ch = _base(spark, sf_dir).select(
@@ -359,6 +357,92 @@ def q47_spectral_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("x"),
     )
     return spectral_features(ch)
+
+
+def q47_spectral_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable face of the full-spectrum periodogram (upgraded from
+    a rows-only entry in round 3): the SAME Arrow/applyInPandas FFT pipeline
+    as ``spectral_full`` — this query's plan IS that plan — with the float
+    features bridged to fixed-point BIGINTs so a *differently-computed*
+    DuckDB oracle (naive O(n·k) DFT in SQL, no FFT) can match them exactly:
+
+    * ``dominant_k`` — the argmax bin index is already an exact integer;
+    * ``log_energy_e4`` / ``entropy_e4`` / ``centroid_e4`` — value·10⁴
+      rounded half-away-from-zero (Spark ``round`` on doubles and DuckDB
+      ``round`` share that convention).
+
+    Why 10⁻⁴ bridging is sound here and nowhere else: the FFT and the naive
+    DFT are different summation ALGORITHMS, so their doubles differ at
+    ~1e-12 relative — six orders of magnitude inside the 0.5·10⁻⁴ grid — and
+    the fixtures are frozen files, so agreement is a deterministic fact of
+    the data checked at sf0.001 and sf0.01 in tests/test_driver_contract.py,
+    not a probabilistic hope.  ``ln(energy)`` (not raw energy, which spans
+    ~10¹³ and would swamp a fixed grid) keeps the comparison relative.  The
+    unbridged doubles remain available via ``spectral_full`` and keep their
+    rtol-1e-9 + partition-invariance pytest gate.
+    """
+    full = spectral_full(spark, sf_dir)
+    e4 = lambda col: F.round(col * F.lit(1e4), 0).cast("long")  # noqa: E731
+    return full.select(
+        "conv_id",
+        "channel",
+        "n",
+        "dominant_k",
+        F.when(
+            F.col("spectral_energy") > 0, e4(F.log(F.col("spectral_energy")))
+        ).alias("log_energy_e4"),
+        e4(F.col("spectral_entropy")).alias("entropy_e4"),
+        e4(F.col("spectral_centroid")).alias("centroid_e4"),
+    )
+
+
+_Q47_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), idx AS MATERIALIZED (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM c
+), convs AS (
+  SELECT conv_id, MAX(n) AS n FROM idx GROUP BY 1
+), kk AS (
+  SELECT conv_id, n, UNNEST(range(1, n // 2 + 1)) AS k FROM convs
+), bins AS (
+  SELECT kk.conv_id, kk.n, kk.k,
+         SUM(idx.c * cos(2 * pi() * kk.k * idx.i / kk.n)) AS re,
+         SUM(idx.c * sin(-2 * pi() * kk.k * idx.i / kk.n)) AS im
+  FROM kk JOIN idx ON idx.conv_id = kk.conv_id
+  GROUP BY 1, 2, 3
+), psd AS (
+  SELECT conv_id, n, k, (re * re + im * im) / n AS p FROM bins
+), tot AS (
+  SELECT conv_id, n, SUM(p) AS total, MAX(p) AS maxp FROM psd GROUP BY 1, 2
+), feat AS (
+  SELECT psd.conv_id, tot.n,
+         MIN(CASE WHEN psd.p = tot.maxp THEN psd.k END) AS dominant_k,
+         SUM(CASE WHEN psd.p > 0 AND tot.total > 0
+                  THEN -(psd.p / tot.total) * ln(psd.p / tot.total) END) AS entropy,
+         SUM(CASE WHEN tot.total > 0
+                  THEN psd.k * (psd.p / tot.total) END) AS centroid,
+         MAX(tot.total) AS total
+  FROM psd JOIN tot ON psd.conv_id = tot.conv_id
+  GROUP BY 1, 2
+)
+SELECT convs.conv_id, 'value' AS channel, CAST(convs.n AS BIGINT) AS n,
+       CAST(COALESCE(CASE WHEN feat.total > 0 THEN feat.dominant_k END, 0)
+            AS BIGINT) AS dominant_k,
+       CASE WHEN feat.total > 0
+            THEN CAST(round(ln(feat.total) * 10000.0, 0) AS BIGINT)
+       END AS log_energy_e4,
+       CAST(round(COALESCE(CASE WHEN feat.total > 0 THEN feat.entropy END, 0.0)
+                  * 10000.0, 0) AS BIGINT) AS entropy_e4,
+       CAST(round(COALESCE(CASE WHEN feat.total > 0 THEN feat.centroid END, 0.0)
+                  * 10000.0, 0) AS BIGINT) AS centroid_e4
+FROM convs LEFT JOIN feat ON feat.conv_id = convs.conv_id
+"""
 
 
 # --- q48: cross-channel Pearson correlation per (conv, 1d bucket) ------------
@@ -785,7 +869,7 @@ WITH c AS (
 )
 SELECT user_id AS conv_id, bucket_us,
        COUNT(*) AS n_pairs,
-       SUM(adc) AS wl_cents,
+       CAST(SUM(adc) AS BIGINT) AS wl_cents,
        CAST(SUM(adc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_abs_change
 FROM pairs
 GROUP BY 1, 2
@@ -1357,12 +1441,19 @@ def q57_lttb_downsample(
     preserving visual shape — endpoints always kept, each interior bucket
     contributing its largest-triangle point (kernels/lttb.py).
 
-    No ``oracle_sql`` entry — the selection recurrence (each bucket's pick
-    depends on the previous pick) has no SQL form; the driver records the
-    rows-only check and tests/test_lttb.py gates EXACT selection equality
-    against the independent scalar oracle (oracle/lttb.py) plus the
-    structural invariants (endpoints, count, subset-of-input, partition
-    invariance).
+    Driver oracle (upgraded from rows-only in round 3): the selection
+    recurrence — each bucket's pick depends on the previous pick — is not
+    expressible as one SQL aggregate, but ``threshold`` is a constant, so
+    ``_q57_sql`` UNROLLS the loop into threshold−2 chained argmax CTE
+    stages.  Bitwise equality is achievable because the kernel's float
+    contract (kernels/lttb.py docstring) is replayable in SQL: the bucket
+    means are exact-integer sums (< 2⁵³, so any summation order is exact)
+    followed by ONE pinned division, and the triangle-area expression is
+    written with the identical IEEE op order on both sides, so every
+    comparison sees bit-identical doubles.  tests/test_lttb.py additionally
+    gates the kernel against the independent scalar oracle (oracle/lttb.py)
+    and the structural invariants (endpoints, count, subset-of-input,
+    partition invariance).
 
     Scale shape: one hash exchange on conv_id, then per-conversation Arrow
     batches; the kernel's loop is O(threshold) — bounded by the OUTPUT — so
@@ -1397,6 +1488,96 @@ def q57_lttb_downsample(
     )
 
 
+def _q57_sql(threshold: int = LTTB_THRESHOLD) -> str:
+    """Exact DuckDB mirror of q57: the LTTB recurrence unrolled into
+    ``threshold − 2`` chained argmax stages (see q57's docstring for why the
+    doubles match bitwise).  Conversations with n ≤ threshold are returned
+    whole, mirroring the kernel's early-out."""
+    w = threshold - 2  # number of interior buckets
+    area = (
+        "abs((p.px - {ax}) * (b.yf - p.py) - (p.px - b.tf) * ({ay} - p.py))"
+    )
+    stages = []
+    for i in range(w):
+        prev = "p0" if i == 0 else f"s{i}"
+        if i + 1 < w:
+            anchor_src = f"JOIN avgs a ON a.conv_id = b.conv_id AND a.b = {i + 1}"
+            ax, ay = "a.ax", "a.ay"
+        else:
+            anchor_src = "JOIN lastpt a ON a.conv_id = b.conv_id"
+            ax, ay = "a.ax", "a.ay"
+        stages.append(
+            f"""s{i + 1} AS MATERIALIZED (
+  SELECT conv_id, pj, px, py FROM (
+    SELECT b.conv_id, b.j AS pj, b.tf AS px, b.yf AS py,
+           row_number() OVER (
+             PARTITION BY b.conv_id
+             ORDER BY {area.format(ax=ax, ay=ay)} DESC, b.j ASC
+           ) AS rn
+    FROM bkt b
+    JOIN {prev} p ON p.conv_id = b.conv_id
+    {anchor_src}
+    WHERE b.b = {i}
+  ) WHERE rn = 1
+)"""
+        )
+    stage_sql = ",\n".join(stages)
+    picks_union = "\nUNION ALL\n".join(
+        f"SELECT conv_id, pj FROM s{i + 1}" for i in range(w)
+    )
+    return f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), idx AS MATERIALIZED (
+  SELECT user_id AS conv_id, event_id, ts_us, c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) - 1 AS j,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         MIN(ts_us) OVER (PARTITION BY user_id) AS t0
+  FROM c
+), big AS MATERIALIZED (
+  SELECT conv_id, event_id, ts_us, c, j, n,
+         CAST(ts_us - t0 AS DOUBLE) AS tf,
+         CAST(c AS DOUBLE) AS yf
+  FROM idx WHERE n > {threshold}
+), bkt AS MATERIALIZED (
+  -- interior rows tagged with their bucket id via the kernel's exact
+  -- integer floor-division bounds: bounds[i] = 1 + (i * (n-2)) // {w}
+  SELECT big.*, t.i AS b
+  FROM big, UNNEST(range(0, {w})) AS t(i)
+  WHERE big.j >= 1 + (t.i * (big.n - 2)) // {w}
+    AND big.j < 1 + ((t.i + 1) * (big.n - 2)) // {w}
+), avgs AS MATERIALIZED (
+  -- bucket means: exact-integer sums (< 2^53) + one pinned division
+  SELECT conv_id, b,
+         SUM(tf) / COUNT(*) AS ax,
+         SUM(yf) / COUNT(*) AS ay
+  FROM bkt GROUP BY 1, 2
+), lastpt AS MATERIALIZED (
+  SELECT conv_id, tf AS ax, yf AS ay FROM big WHERE j = n - 1
+), p0 AS MATERIALIZED (
+  SELECT conv_id, j AS pj, tf AS px, yf AS py FROM big WHERE j = 0
+),
+{stage_sql},
+picks AS (
+  SELECT conv_id, pj FROM p0
+  UNION ALL
+  {picks_union}
+  UNION ALL
+  SELECT conv_id, j AS pj FROM big WHERE j = n - 1
+)
+SELECT big.conv_id, big.event_id, big.ts_us, big.c
+FROM picks JOIN big ON big.conv_id = picks.conv_id AND big.j = picks.pj
+UNION ALL
+SELECT conv_id, event_id, ts_us, c FROM idx WHERE n <= {threshold}
+"""
+
+
+_Q57_SQL = _q57_sql()
+
+
 QUERIES = {
     "q43_time_weighted_avg_1h": q43_time_weighted_avg_1h,
     "q44_autocorr_lag1": q44_autocorr_lag1,
@@ -1421,6 +1602,7 @@ ORACLE_SQL = {
     "q44_autocorr_lag1": _Q44_SQL,
     "q45_spectral_bins_1h": _Q45_SQL,
     "q46_zscore_anomalies": _Q46_SQL,
+    "q47_spectral_full": _Q47_SQL,
     "q48_cross_channel_corr_1d": _Q48_SQL,
     "q49_trend_slope_1h": _Q49_SQL,
     "q51_moments_1d": _Q51_SQL,
@@ -1429,6 +1611,7 @@ ORACLE_SQL = {
     "q54_mad_per_conv": _Q54_SQL,
     "q55_ewma_value": _Q55_SQL,
     "q56_live_coverage_1h": _Q56_SQL,
+    "q57_lttb_downsample": _Q57_SQL,
     "q60_percentile_sketch_1h": _Q60_SQL,
     "q61_interpolated_twa_1h": _Q61_SQL,
 }

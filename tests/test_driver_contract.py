@@ -51,6 +51,17 @@ def test_query_matches_duckdb(spark, sf_dir, duck, name):
     assert len(got) == len(want), f"{name}: {len(got)} rows vs {len(want)}"
     for c in got.columns:
         a, b = got[c].to_numpy(), want[c].to_numpy()
+        # Driver-faithful dtype gate: the driver hashes values *with* their
+        # dtype, so a Spark int64 vs DuckDB HUGEINT→float64 (or any
+        # int-vs-float family mismatch) fails its hash even when every value
+        # is equal.  This is exactly how q53 shipped driver-red in round 3 —
+        # make that class of bug fail here, pre-commit.
+        fam = lambda k: "num_int" if k in "iu" else ("num_flt" if k == "f" else k)
+        assert fam(a.dtype.kind) == fam(b.dtype.kind), (
+            f"{name}.{c}: dtype family mismatch spark={a.dtype} duckdb={b.dtype} "
+            "(driver hash compares dtypes — CAST the oracle column, e.g. "
+            "CAST(SUM(x) AS BIGINT))"
+        )
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             a = a.astype(np.float64)
             b = b.astype(np.float64)
