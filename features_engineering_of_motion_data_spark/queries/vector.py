@@ -10,7 +10,7 @@ pinned int→double expression that matches bitwise across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .sqlexact import split_dbl
@@ -132,6 +132,12 @@ def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Not ANSI-SQL-expressible (per-permutation min-hash signatures) → driver
     records a rows-only check; tests/test_text_dedup.py asserts the verified
     output equals the brute-force q25 pairs above the threshold.
+
+    Pipeline-order contract: run exact dedup (q21) FIRST so byte-identical
+    documents collapse before LSH; each band bucket is then capped at its
+    LSH_BUCKET_CAP smallest doc_ids (same hot-bucket bound as
+    lsh_candidate_pairs — candidates stay sub-quadratic even on an
+    adversarially duplicate-heavy corpus, tests/test_lsh_cap.py).
     """
     from .text import JACCARD_THRESHOLD
 
@@ -163,6 +169,12 @@ def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "doc_id", f"stack({n_bands}, {stack}) as (band, bkey)"
         )
+    )
+    wcap = Window.partitionBy("band", "bkey").orderBy("doc_id")
+    band = (
+        band.withColumn("rnk", F.row_number().over(wcap))
+        .filter(F.col("rnk") <= F.lit(LSH_BUCKET_CAP))
+        .drop("rnk")
     )
     a = band.alias("a")
     b = band.alias("b")
@@ -417,10 +429,30 @@ def _band_keys(
     return F.array(*entries)
 
 
+# Hot-bucket bound: a (band, bkey) bucket with d members yields O(d²)
+# candidate pairs, and a duplicate-heavy corpus — precisely what near-dup
+# dedup targets — can put thousands of near-identical vectors in ONE bucket,
+# turning the self-join quadratic in the worst key. Each bucket therefore
+# keeps only its LSH_BUCKET_CAP smallest vec_ids (deterministic, and exactly
+# mirrored by a QUALIFY in the SQL oracle), bounding candidates at
+# buckets × C(cap, 2). Recall statement: members beyond the cap lose THIS
+# bucket's candidacy but usually pair via their other bands; the intended
+# pipeline runs exact dedup (q21) FIRST so identical-content clusters
+# collapse to one representative before LSH — the cap then only fires on
+# adversarial hash pileups, not on real near-dup workloads. The cap is far
+# above the fixture's max bucket size at every SF, so fixture outputs are
+# unchanged (pytest-gated in tests/test_lsh_cap.py).
+LSH_BUCKET_CAP = 256
+
+
 def lsh_candidate_pairs(
-    e: DataFrame, bands: int = PAIR_BANDS, band_bits: int = PAIR_BAND_BITS
+    e: DataFrame,
+    bands: int = PAIR_BANDS,
+    band_bits: int = PAIR_BAND_BITS,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
-    """(vec_a, vec_b) candidate pairs sharing ≥1 (band, key) bucket.
+    """(vec_a, vec_b) candidate pairs sharing ≥1 (band, key) bucket, each
+    bucket capped at its ``bucket_cap`` smallest vec_ids (see LSH_BUCKET_CAP).
 
     Exposed separately so bench.py can measure banding *selectivity*
     (candidates ≪ n²/2) at a production parameterization directly, instead
@@ -428,6 +460,15 @@ def lsh_candidate_pairs(
     sig = e.select(
         "vec_id", F.explode(_band_keys(F.col("q"), bands, band_bits)).alias("bk")
     ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    # The cap's row_number window partitions on the SAME (band, bkey) key the
+    # self-join shuffles on, so Catalyst reuses one exchange — the bound
+    # costs a sort within partitions, not an extra shuffle.
+    wcap = Window.partitionBy("band", "bkey").orderBy("vec_id")
+    sig = (
+        sig.withColumn("rnk", F.row_number().over(wcap))
+        .filter(F.col("rnk") <= F.lit(int(bucket_cap)))
+        .drop("rnk")
+    )
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -448,8 +489,14 @@ def q34_embedding_lsh_pairs(
     threshold: float = COS_THRESHOLD,
     bands: int = PAIR_BANDS,
     band_bits: int = PAIR_BAND_BITS,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Scale path for q30: embedding near-dup PAIRS without the O(n²) join.
+
+    Pipeline-order contract: run exact dedup (q21's md5-groupBy shape)
+    FIRST, so identical vectors collapse to one representative before LSH —
+    then the per-bucket ``bucket_cap`` (see LSH_BUCKET_CAP) is a safety
+    bound against adversarial hash pileups, not a recall cost.
 
     Candidates = vectors sharing any (band, 4-bit hyperplane key) bucket;
     verification = exact integer dot restricted to candidates, same pinned
@@ -473,7 +520,7 @@ def q34_embedding_lsh_pairs(
     e = _quantized(_emb(spark, sf_dir)).select(
         "vec_id", "q", _dot(F.col("q"), F.col("q")).alias("nq")
     )
-    cand = lsh_candidate_pairs(e, bands, band_bits)
+    cand = lsh_candidate_pairs(e, bands, band_bits, bucket_cap)
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nq").alias("na"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
     pairs = (
@@ -507,10 +554,13 @@ def _q34_sql(
     threshold: float = COS_THRESHOLD,
     bands: int = PAIR_BANDS,
     band_bits: int = PAIR_BAND_BITS,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> str:
     """DuckDB mirror of q34 at any banding parameterization — the literal
     hyperplanes are regenerated for (bands, band_bits) on both sides, so the
-    tuned variant (q37) is driver-checked with a full SQL oracle too."""
+    tuned variant (q37) is driver-checked with a full SQL oracle too.  The
+    ``capped`` CTE mirrors lsh_candidate_pairs' hot-bucket bound exactly
+    (same rank-by-vec_id-within-bucket rule)."""
     return f"""
 WITH q AS (
   SELECT vec_id,
@@ -528,9 +578,15 @@ WITH q AS (
            ) >= 0 THEN 1 << planes.r ELSE 0 END) AS BIGINT) AS bkey
   FROM q, {_pair_planes_sql(bands, band_bits)}
   GROUP BY 1, 2
+), capped AS (
+  SELECT vec_id, band, bkey FROM (
+    SELECT vec_id, band, bkey,
+           row_number() OVER (PARTITION BY band, bkey ORDER BY vec_id) AS rnk
+    FROM bits
+  ) WHERE rnk <= {int(bucket_cap)}
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bits a JOIN bits b
+  FROM capped a JOIN capped b
     ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
 ), dots AS (
   SELECT cand.vec_a, cand.vec_b,
