@@ -91,6 +91,23 @@ def _merge_to_coarse(stats: DataFrame, coarse) -> DataFrame:
     )
 
 
+# calendar tiers accepted by cascade_from_stats / jobs/rollup.py --tiers,
+# coarse→fine ordering implied by CAL_ORDER
+CAL_UNITS = ("week", "month", "quarter", "year")
+CAL_ORDER = {u: i for i, u in enumerate(CAL_UNITS)}
+
+
+def split_tiers(tiers: tuple[str, ...]) -> tuple[list[str], list[str]]:
+    """Partition a ``--tiers`` list into (fixed-width, calendar) tiers,
+    raising KeyError on anything in neither vocabulary."""
+    fixed = [t for t in tiers if t in TIER_US]
+    cal = [t for t in tiers if t in CAL_UNITS]
+    for t in tiers:
+        if t not in TIER_US and t not in CAL_UNITS:
+            raise KeyError(t)
+    return fixed, cal
+
+
 def cascade_from_stats(
     base_stats: DataFrame, tiers: tuple[str, ...]
 ) -> dict[str, DataFrame]:
@@ -98,15 +115,30 @@ def cascade_from_stats(
 
     ``base_stats`` must be an ``aggregate_tier(channels, finest)`` frame (or a
     bit-exact materialization of one, e.g. jobs/rollup.py's staged parquet)
-    where ``finest = min(tiers)``. Coarser tiers are pure integer merges of
-    it — the raw turns are never touched again.
+    where ``finest = min(fixed tiers)``. Coarser tiers are pure integer
+    merges of it — the raw turns are never touched again.
+
+    ``tiers`` may include calendar units (week/month/quarter/year): those
+    merge from the COARSEST fixed tier's stats — the cheapest path, and
+    bit-identical to merging from any finer tier because the merge algebra
+    is associative (path independence gated in tests/test_tiers_vs_oracle).
+    At least one fixed tier is required (calendar buckets have no fixed
+    µs width to base-aggregate at).
     """
     if not tiers:
         return {}
-    order = sorted(tiers, key=lambda t: TIER_US[t])
+    fixed, cal = split_tiers(tiers)
+    if not fixed:
+        raise KeyError(
+            f"calendar tiers {cal} merge from a fixed tier; include one of "
+            f"{sorted(TIER_US)}"
+        )
+    order = sorted(fixed, key=lambda t: TIER_US[t])
     stats = {order[0]: base_stats}
     for fine, coarse in zip(order, order[1:]):
         stats[coarse] = rollup_merge(stats[fine], coarse)
+    for unit in sorted(cal, key=CAL_ORDER.get):
+        stats[unit] = rollup_merge_calendar(stats[order[-1]], unit)
     return {t: finalize_features(s) for t, s in stats.items()}
 
 
@@ -119,5 +151,8 @@ def cascade(channels: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d")) ->
     """
     if not tiers:
         return {}
-    order = sorted(tiers, key=lambda t: TIER_US[t])
-    return cascade_from_stats(aggregate_tier(channels, order[0]), tiers)
+    fixed, _ = split_tiers(tiers)
+    if not fixed:
+        raise KeyError(f"include at least one fixed tier of {sorted(TIER_US)}")
+    finest = min(fixed, key=lambda t: TIER_US[t])
+    return cascade_from_stats(aggregate_tier(channels, finest), tiers)

@@ -65,7 +65,11 @@ from features_engineering_of_motion_data_spark.operators.features import (
     TIER_US,
     aggregate_tier,
 )
-from features_engineering_of_motion_data_spark.operators.rollup import cascade_from_stats
+from features_engineering_of_motion_data_spark.operators.rollup import (
+    CAL_UNITS,
+    cascade_from_stats,
+    split_tiers,
+)
 from features_engineering_of_motion_data_spark.session import get_spark
 from features_engineering_of_motion_data_spark.sources.checkpoints import (
     append_record,
@@ -88,7 +92,13 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
-    p.add_argument("--tiers", default="1m,1h,1d")
+    p.add_argument(
+        "--tiers",
+        default="1m,1h,1d",
+        help="comma list of fixed tiers (1m/1h/1d) and/or calendar tiers "
+             "(week/month/quarter/year); calendar tiers merge from the "
+             "coarsest fixed tier in the list",
+    )
     p.add_argument("--num-parts", type=int, default=16)
     p.add_argument("--resume", action="store_true")
     p.add_argument(
@@ -323,10 +333,18 @@ def _write_archive(spark, args, snapshot: str) -> None:
 
 def run(args) -> int:
     tiers = tuple(args.tiers.split(","))
-    for t in tiers:
-        if t not in TIER_US:
-            raise SystemExit(f"unknown tier {t!r}; valid: {sorted(TIER_US)}")
-    finest = min(tiers, key=lambda t: TIER_US[t])
+    try:
+        fixed, cal = split_tiers(tiers)
+    except KeyError as e:
+        raise SystemExit(
+            f"unknown tier {e.args[0]!r}; valid: {sorted(TIER_US) + list(CAL_UNITS)}"
+        )
+    if not fixed:
+        raise SystemExit(
+            f"calendar tiers {cal} merge from a fixed tier; include one of "
+            f"{sorted(TIER_US)}"
+        )
+    finest = min(fixed, key=lambda t: TIER_US[t])
     ckpt = args.ckpt or os.path.join(args.output, "_ckpt.jsonl")
     snapshot = resolve_snapshot(args.input)
     entries = snapshot_manifest(args.input)
