@@ -2,12 +2,14 @@
 metadata, processed through Arrow-batched ``mapInPandas`` (the
 training-data-pipeline surface).
 
-The container ships no image/audio libraries, so the *codec* step is stubbed:
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless the
-optional dependency imports, and a deterministic fake decode path
-(``FAKE`` container format, fully specified below) keeps the Spark-side
+Codec status: **uncompressed WAV (RIFF/PCM) decode is REAL** — a pure-numpy
+chunk-walking parser (``decode_audio(backend='wav')``, public container
+spec, no dependencies). The container ships no image libraries, so the
+image/video codec step stays stubbed: ``decode_image(backend='pil')``
+raises ``NotImplementedError`` unless Pillow imports, and the deterministic
+``FAKE`` container format (fully specified below) keeps the Spark-side
 plumbing — schema, partition behaviour, UDF signatures, batch shapes — real
-and tested.
+and tested for those media types.
 
 FAKE container layout (little-endian):
     bytes 0-3   magic  b"FAKE"
@@ -189,6 +191,152 @@ def decode_image(media: DataFrame, backend: str = "fake") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in STATS_SCHEMA.fields])
 
     return media.mapInPandas(gen, STATS_SCHEMA)
+
+
+# --- real audio codec: uncompressed WAV (RIFF/PCM), pure numpy ---------------
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("std_amp", T.DoubleType()),
+        T.StructField("peak_amp", T.DoubleType()),
+    ]
+)
+
+
+def make_wav_payload(
+    doc_id: int,
+    n_frames: int = 256,
+    sample_rate: int = 8000,
+    channels: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """A real, canonical RIFF/WAVE file (PCM) with deterministic content
+    derived from ``doc_id`` — the generator side of the round-trip test."""
+    import hashlib
+
+    if bits not in (8, 16, 32):
+        raise ValueError(bits)
+    n = n_frames * channels
+    seed = int.from_bytes(hashlib.md5(str(doc_id).encode()).digest()[:8], "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    if bits == 8:
+        pcm = rng.integers(0, 256, size=n, dtype=np.uint8)  # 8-bit WAV is unsigned
+    elif bits == 16:
+        pcm = rng.integers(-(2**15), 2**15, size=n, dtype=np.int64).astype("<i2")
+    else:
+        pcm = rng.integers(-(2**31), 2**31, size=n, dtype=np.int64).astype("<i4")
+    data = pcm.tobytes()
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_bytes(payload: bytes):
+    """Pure-numpy RIFF/WAVE parse of one payload → (meta, samples float64)
+    or None when the container is invalid/compressed — the scalar kernel
+    both the Spark operator and the test's independent reference share is
+    deliberately NOT this function in the test (the test recomputes stats
+    straight from the generator's PCM array).
+
+    Spec (public): RIFF header = b'RIFF' <u32 size> b'WAVE'; then chunks of
+    (id:4, size:u32le, data[, pad to even]); 'fmt ' = audio_format u16 (1 =
+    PCM), channels u16, sample_rate u32, byte_rate u32, block_align u16,
+    bits u16; 'data' = the PCM frames. 8-bit is unsigned, 16/32-bit signed
+    little-endian."""
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        chunk = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(chunk) >= 16:
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or channels < 1 or bits not in (8, 16, 32):
+        return None  # compressed/extensible WAV is out of scope (PCM only)
+    width = bits // 8
+    n = len(data) // (width * channels) * channels  # whole frames only
+    if n == 0:
+        return None
+    dt = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}[bits]
+    x = np.frombuffer(data, dtype=dt, count=n).astype(np.float64)
+    if bits == 8:
+        x = x - 128.0  # center unsigned 8-bit at zero like signed widths
+    meta = (int(sample_rate), int(channels), int(bits), n // channels)
+    return meta, x
+
+
+def decode_audio(media: DataFrame, backend: str = "wav") -> DataFrame:
+    """Decode audio payloads + per-object amplitude stats.
+
+    ``backend='wav'`` is the REAL codec: uncompressed RIFF/PCM parsed with
+    pure numpy inside Arrow-batched ``mapInPandas`` — vectorized per object,
+    graceful per-row handling (invalid/compressed containers are skipped,
+    never kill the job). Stats are computed on raw sample amplitudes
+    (8-bit recentred at zero) so they are exact integers in float64.
+
+    Scale shape: mapInPandas streams Arrow batches — no shuffle at all; the
+    operator is embarrassingly parallel over whatever partitioning the
+    payload table already has, and per-batch memory is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` × payload size.
+    """
+    if backend != "wav":
+        raise NotImplementedError(
+            f"audio backend {backend!r} not available; 'wav' (RIFF/PCM) is "
+            "the built-in dependency-free codec"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                parsed = decode_wav_bytes(r.payload)
+                if parsed is None:
+                    continue
+                (rate, ch, bits, n_frames), x = parsed
+                rows.append(
+                    (
+                        int(r.doc_id),
+                        rate,
+                        ch,
+                        bits,
+                        int(n_frames),
+                        float(n_frames / rate),
+                        float(np.mean(x)),
+                        float(np.std(x)),
+                        float(np.max(np.abs(x))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(gen, WAV_STATS_SCHEMA)
 
 
 def sample_frames(meta: DataFrame, every_k: int = 2) -> DataFrame:

@@ -130,3 +130,118 @@ def test_corrupt_payload_flagged(spark):
     meta = extract_metadata(df).toPandas().set_index("doc_id")
     assert not meta.loc[1, "valid"] and not meta.loc[2, "valid"]
     assert meta.loc[3, "valid"]
+
+
+# --- real WAV codec (round-trip vs an independent numpy reference) -----------
+
+
+def _wav_reference_stats(doc_id, n_frames, channels, bits):
+    """Independent reference: regenerate the SAME deterministic PCM the
+    writer used and compute stats directly — never calling the parser."""
+    import hashlib
+
+    n = n_frames * channels
+    seed = int.from_bytes(hashlib.md5(str(doc_id).encode()).digest()[:8], "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    if bits == 8:
+        x = rng.integers(0, 256, size=n, dtype=np.uint8).astype(np.float64) - 128.0
+    elif bits == 16:
+        x = rng.integers(-(2**15), 2**15, size=n, dtype=np.int64).astype(np.float64)
+    else:
+        x = rng.integers(-(2**31), 2**31, size=n, dtype=np.int64).astype(np.float64)
+    return float(np.mean(x)), float(np.std(x)), float(np.max(np.abs(x)))
+
+
+def test_wav_roundtrip_matches_numpy_reference(spark):
+    import pandas as pd
+
+    from features_engineering_of_motion_data_spark.operators.multimodal import (
+        decode_audio,
+        make_wav_payload,
+    )
+
+    cases = [  # (doc_id, n_frames, sample_rate, channels, bits)
+        (1, 256, 8000, 1, 16),
+        (2, 300, 16000, 2, 16),
+        (3, 128, 44100, 1, 8),
+        (4, 64, 48000, 2, 32),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [c[0] for c in cases],
+            "payload": [make_wav_payload(*c) for c in cases],
+        }
+    )
+    got = (
+        decode_audio(spark.createDataFrame(pdf), backend="wav")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(got) == len(cases)
+    for doc_id, n_frames, rate, ch, bits in cases:
+        row = got.loc[doc_id]
+        assert (row["sample_rate"], row["channels"], row["bits"]) == (rate, ch, bits)
+        assert row["n_frames"] == n_frames
+        assert row["duration_s"] == n_frames / rate
+        mean, std, peak = _wav_reference_stats(doc_id, n_frames, ch, bits)
+        assert row["mean_amp"] == mean  # exact: integer amplitudes in f64
+        assert row["std_amp"] == std
+        assert row["peak_amp"] == peak
+
+
+def test_wav_rejects_invalid_and_compressed(spark):
+    import struct as _struct
+
+    import pandas as pd
+
+    from features_engineering_of_motion_data_spark.operators.multimodal import (
+        decode_audio,
+        make_wav_payload,
+    )
+
+    good = make_wav_payload(9)
+    # flip audio_format to 2 (ADPCM) inside the fmt chunk -> rejected (PCM only)
+    compressed = bytearray(good)
+    fmt_at = good.index(b"fmt ") + 8
+    compressed[fmt_at : fmt_at + 2] = _struct.pack("<H", 2)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "payload": [b"RIFFxxxxNOPE", b"", bytes(compressed), good],
+        }
+    )
+    got = decode_audio(spark.createDataFrame(pdf)).toPandas()
+    assert got["doc_id"].tolist() == [4]
+
+
+def test_wav_tolerates_extra_chunks_and_odd_sizes(spark):
+    """Chunk walking honors word alignment: a LIST chunk with an odd size
+    before fmt/data must not desync the parse."""
+    import struct as _struct
+
+    import pandas as pd
+
+    from features_engineering_of_motion_data_spark.operators.multimodal import (
+        decode_audio,
+        decode_wav_bytes,
+        make_wav_payload,
+    )
+
+    base = make_wav_payload(11, n_frames=32)
+    odd = b"LIST" + _struct.pack("<I", 3) + b"abc" + b"\x00"  # padded to even
+    payload = base[:12] + odd + base[12:]
+    payload = payload[:4] + _struct.pack("<I", len(payload) - 8) + payload[8:]
+    assert decode_wav_bytes(payload) is not None
+    pdf = pd.DataFrame({"doc_id": [11], "payload": [payload]})
+    got = decode_audio(spark.createDataFrame(pdf)).toPandas()
+    assert len(got) == 1 and got.loc[0, "n_frames"] == 32
+
+
+def test_unknown_audio_backend_raises():
+    from features_engineering_of_motion_data_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    with pytest.raises(NotImplementedError, match="'wav'"):
+        decode_audio(None, backend="mp3")
