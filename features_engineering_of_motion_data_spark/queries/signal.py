@@ -611,7 +611,7 @@ WHERE n >= 3
 """
 
 
-# --- q51: skewness + excess kurtosis per (conv, 1h bucket) -------------------
+# --- q51: skewness + excess kurtosis per (conv, 1d bucket) -------------------
 
 
 def q51_moments_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,10 +628,20 @@ def q51_moments_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaving pinned double sequences (correctly-rounded decimal→double casts,
     hardware sqrt, one division, one subtraction) mirrored in the oracle.
 
-    Headroom: the largest term, ``3·s1⁴ ≤ 3·(n·c_max)⁴``, stays inside
-    decimal(38,0)/HUGEINT for ``n·c_max < 7.6×10⁹`` — at cent scale 5×10⁴
-    that is ~1.5×10⁵ turns per (conv, 1d) bucket (~1.8 turns/s sustained),
-    above any real conversation; denser signals roll up at finer tiers first.
+    Headroom (the BITWISE envelope, which is tighter than mere
+    non-overflow): the binding constraint is not decimal(38,0)/HUGEINT
+    capacity (that allows ``n·c_max`` up to ~2.4×10⁹) but the oracle's
+    ``split_dbl`` exact-cast bridge, which is faithful only for
+    ``|M| < 2¹⁰¹ ≈ 2.5×10³⁰`` — with M4's terms up to ``6·(n·c_max)⁴`` and
+    worst-case intermediate sums ~14×, that means ``n·c_max ≲ 3×10⁷``
+    conservatively, i.e. ~600 turns per (conv, 1d) bucket at cent scale
+    5×10⁴. Beyond it the two engines may first disagree in the last double
+    ULP (the oracle's split cast rounds twice where Spark's decimal→double
+    rounds once), and on actual overflow they DIVERGE structurally: Spark's
+    decimal aggregate nulls, DuckDB's HUGEINT errors. Denser signals roll
+    up at finer tiers first (1h: 600 turns/bucket = one turn every 6 s),
+    where the envelope comfortably holds; the Spark-side result alone
+    remains exact to the decimal38 bound.
 
     Scale shape: ONE hash agg on (conv, bucket) with map-side partials —
     a single shuffle; the moment algebra is post-aggregation scalar math.

@@ -192,13 +192,26 @@ def _ewma_fn_factory(alpha: float):
         ``y`` as a synthetic first element makes ``ewm(adjust=False)`` emit
         EXACTLY the continued recurrence — output[0] == y_prev, then
         ``(1−α)·y + α·x`` per step — so micro-batch boundaries are
-        bit-invisible (tested vs the single-pass batch EWMA)."""
+        bit-invisible (tested vs the single-pass batch EWMA).
+
+        Ordering guard: ``last_turn`` is not decoration — a delivery with
+        ``turn_idx <= last_turn`` (late/out-of-order arrival inside the
+        watermark, or an at-least-once re-delivery that slipped past
+        upstream dedup) would silently FOLD INTO the recurrence and corrupt
+        every subsequent value. Such rows are dropped (emitting nothing for
+        them) so the emitted series is exactly the ordered-prefix EWMA —
+        wrong-input rows cause a gap, never a wrong value.  Compose
+        ``stream_dedup_turns`` upstream to make drops re-delivery-only."""
         (conv_id,) = key
         last_turn, last_y = state.get if state.exists else (None, None)
         for pdf in pdfs:
             if not len(pdf):
                 continue
             pdf = pdf.sort_values("turn_idx", kind="mergesort")
+            if last_turn is not None:
+                pdf = pdf[pdf["turn_idx"] > last_turn]
+                if not len(pdf):
+                    continue
             x = pdf["text"].str.len().fillna(0).astype("float64")
             if last_y is not None:
                 seeded = pd.concat(
@@ -229,7 +242,9 @@ def stream_ewma(
     per-conv state is ONE float + the last turn index, so operator memory is
     O(live conversations) regardless of stream length — the recurrence is
     resumed, never recomputed, and the emitted smoothing is bit-equal to the
-    batch single-pass EWMA under ordered delivery."""
+    batch single-pass EWMA under ordered delivery.  Out-of-order deliveries
+    (turn_idx at or below the carried last_turn) are DROPPED, not folded in
+    — see _ewma_fn_factory's ordering guard."""
     return (
         turns.withWatermark("ts", watermark)
         .groupBy("conv_id")

@@ -414,3 +414,71 @@ def test_stream_ewma_matches_batch_across_microbatches(spark, tmp_path):
         )
         g = got[got.conv_id == conv]["ewma_len"].to_numpy()
         assert np.array_equal(g.view(np.int64), want.view(np.int64)), conv
+
+
+def test_stream_ewma_drops_out_of_order_redelivery(spark, tmp_path):
+    """The ordering guard: a later micro-batch re-delivering turn_idx values
+    at or below the carried last_turn must be DROPPED, not folded into the
+    recurrence — survivors stay bit-equal to the ordered-prefix batch EWMA
+    and the stale rows emit nothing."""
+    import datetime
+    import os
+    import shutil
+
+    import numpy as np
+
+    from features_engineering_of_motion_data_spark.streaming import stream_ewma
+
+    lens = np.arange(1, 21) * 7  # deterministic, nontrivial
+
+    def rows(idxs):
+        return [
+            (
+                "cX",
+                int(i),
+                "user",
+                "x" * int(lens[i]),
+                None,
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=10 * int(i)),
+            )
+            for i in idxs
+        ]
+
+    d = str(tmp_path / "ewma_ooo_in")
+    os.makedirs(d)
+    batches = (
+        ("f1", range(0, 10), 1_000_000),
+        ("f2", [3, 7, 9], 2_000_000),   # pure re-delivery batch -> no output
+        ("f3", [8, 10, 11, 12], 3_000_000),  # mixed: 8 stale, 10-12 fresh
+    )
+    for name, idxs, mtime in batches:
+        tmp = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows(idxs), TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(d, f"{name}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    shutil.rmtree("/tmp/ckpt_ewma_ooo", ignore_errors=True)
+    turns = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = (
+        _run_stream(spark, stream_ewma(turns, alpha=0.25), "ewma_ooo")
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    # 0..9 from f1 + 10..12 from f3; every stale row silent
+    assert got["turn_idx"].tolist() == list(range(13))
+    want = (
+        pd.Series(lens[:13].astype("float64"))
+        .ewm(alpha=0.25, adjust=False)
+        .mean()
+        .to_numpy()
+    )
+    assert np.array_equal(got["ewma_len"].to_numpy().view(np.int64), want.view(np.int64))
