@@ -204,7 +204,11 @@ def main() -> None:
         ),
         "q36_ann_ivf_topk": q36_ann_ivf_topk,
     }
-    for _ in range(2):  # interleaved min-of-2 (same throttle-noise rationale)
+    # interleaved min-of-3: round 3 recorded a +18% q28 move that round 4
+    # needed to re-measure (VERDICT item 7) — a third interleaved rep gives
+    # every query one more chance to land in a quiet window on this
+    # throttling host, at ~25 s total cost
+    for _ in range(3):
         for name in names:
             t0 = time.perf_counter()
             points[name] = _force(qs[name](spark, SF_DIR))

@@ -26,7 +26,18 @@ LSH_BAND_ROWS = 2
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    """Embeddings scan, hash-spread across the session's parallelism.
+
+    The explicit repartition matters for CPU-heavy narrow expressions: the
+    fixture table is ONE parquet file → ONE scan partition, and the
+    signature/dot expressions downstream are interpreted higher-order
+    functions (64 per-row 64-dim dots for LSH banding), so without the
+    spread every branch evaluates them single-threaded — measured 7–11 s →
+    ~2 s for q34's candidate stage at sf0.1/local[32]. At deployment scale
+    the same guard holds for any small-but-expression-hot dimension table
+    that arrives in fewer files than cores; the shuffle it costs is one
+    pass over the (small) vector table."""
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition("vec_id")
 
 
 def _quantized(df: DataFrame) -> DataFrame:
@@ -40,6 +51,18 @@ def _quantized(df: DataFrame) -> DataFrame:
 
 
 def _dot(a, b):
+    """Exact integer dot product of two array<long> columns via Spark's
+    higher-order functions.
+
+    Measured alternative, rejected: unrolling ``Σᵢ a[i]·b[i]`` into 64
+    explicit ``getItem`` terms keeps the arithmetic in whole-stage codegen
+    (HOFs are interpreted: one boxed lambda call per element plus a zipped
+    array allocation per pair), but Catalyst's OPTIMIZER time on the
+    resulting trees dominates everything it saves — q26 went 0.4 s → 6.7 s
+    of pure planning, and q34 (64 banded dots) never finished planning.
+    The HOF form keeps the logical tree one node per dot; its interpreted
+    evaluation is ~2.7 s of q34's 8 s at sf0.1 while the candidate
+    join+distinct (inherent) is the rest."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
     )
@@ -125,7 +148,9 @@ GROUP BY 1, 2
 # --- q28: MinHash + LSH near-dup candidates (rows-only driver check) ---------
 
 
-def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q28_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Scale-path near-dup detection: shingle → 32-perm MinHash → 16 LSH
     bands of 2 rows → band-bucket join → exact Jaccard verify on candidates.
 
@@ -170,10 +195,11 @@ def q28_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", f"stack({n_bands}, {stack}) as (band, bkey)"
         )
     )
+    cap = LSH_BUCKET_CAP if bucket_cap is None else int(bucket_cap)
     wcap = Window.partitionBy("band", "bkey").orderBy("doc_id")
     band = (
         band.withColumn("rnk", F.row_number().over(wcap))
-        .filter(F.col("rnk") <= F.lit(LSH_BUCKET_CAP))
+        .filter(F.col("rnk") <= F.lit(cap))
         .drop("rnk")
     )
     a = band.alias("a")
