@@ -1588,6 +1588,243 @@ SELECT conv_id, event_id, ts_us, c FROM idx WHERE n <= {threshold}
 _Q57_SQL = _q57_sql()
 
 
+# --- q62: Hjorth parameters per (conv, 1d bucket) ----------------------------
+
+
+def q62_hjorth_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hjorth parameters — activity, mobility, complexity — per (conv, 1d
+    bucket): the classic three-number time-domain characterization of a
+    signal (Hjorth 1970, EEG canon; adopted by the motion/HAR feature
+    literature alongside A1–A7). Activity = population var(x); mobility =
+    √(var(Δx)/var(x)); complexity = mobility(Δx)/mobility(x) =
+    √(var(Δ²x)/var(Δx)) / mobility.
+
+    Exactness: all three n-scaled second moments are exact integers —
+    ``M2x = n·Σx² − (Σx)²`` over the bucket's n samples, ``M2d`` over its
+    n1 in-bucket consecutive differences, ``M2dd`` over its n2 in-bucket
+    second differences (``x − 2·prev + prev2``, both lags in-bucket) — and
+    the emitted doubles are pinned sequences on exact-ratio arguments:
+    activity = M2x/n², mobility = √((M2d·n²)/(M2x·n1²)), complexity =
+    √((M2dd·n1²)/(M2d·n2²)) / mobility — each argument ONE division of two
+    exact integers, mirrored literally in the oracle.  split_dbl fidelity
+    (|value| < 2¹⁰¹) holds to ~10⁵ samples per (conv, 1d) bucket at cent
+    scale (M2d·n² ≤ 4·c²·n1²·n² ≈ 4·10²⁸).
+
+    Scale shape: one lag window (two lags share it) + one hash agg, both
+    keyed on conv — a single shuffle, no Python.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    b = lambda col: _bucket(col, DAY_US)  # noqa: E731
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("prev", F.lag("c").over(w))
+        .withColumn("prev2", F.lag("c", 2).over(w))
+        .withColumn("prev_ts", F.lag("ts_us").over(w))
+        .withColumn("prev2_ts", F.lag("ts_us", 2).over(w))
+    )
+    in1 = F.col("prev_ts").isNotNull() & (b(F.col("prev_ts")) == b(F.col("ts_us")))
+    in2 = in1 & F.col("prev2_ts").isNotNull() & (
+        b(F.col("prev2_ts")) == b(F.col("ts_us"))
+    )
+    dx = F.col("c") - F.col("prev")
+    ddx = F.col("c") - F.col("prev") * 2 + F.col("prev2")
+    g = d.groupBy(
+        F.col("user_id").alias("conv_id"), b(F.col("ts_us")).alias("bucket_us")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(_dec(F.col("c")) * _dec(F.col("c"))).alias("s2"),
+        F.sum(F.when(in1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(in1, dx)).alias("d1"),
+        F.sum(F.when(in1, _dec(dx) * _dec(dx))).alias("d2"),
+        F.sum(F.when(in2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(in2, ddx)).alias("e1"),
+        F.sum(F.when(in2, _dec(ddx) * _dec(ddx))).alias("e2"),
+    )
+    n, n1, n2 = _dec(F.col("n")), _dec(F.col("n1")), _dec(F.col("n2"))
+    m2x = n * F.col("s2") - _dec(F.col("s1")) * _dec(F.col("s1"))
+    m2d = n1 * F.col("d2") - _dec(F.col("d1")) * _dec(F.col("d1"))
+    m2dd = n2 * F.col("e2") - _dec(F.col("e1")) * _dec(F.col("e1"))
+    activity = m2x.cast("double") / (n * n).cast("double")
+    mobility = F.sqrt((m2d * n * n).cast("double") / (m2x * n1 * n1).cast("double"))
+    complexity = (
+        F.sqrt((m2dd * n1 * n1).cast("double") / (m2d * n2 * n2).cast("double"))
+        / mobility
+    )
+    return g.filter((F.col("n2") >= 1) & (m2x > 0) & (m2d > 0)).select(
+        "conv_id",
+        "bucket_us",
+        "n",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        activity.alias("activity"),
+        mobility.alias("mobility"),
+        complexity.alias("complexity"),
+    )
+
+
+_Q62_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), lagged AS (
+  SELECT user_id, ts_us, c,
+         lag(c) OVER w AS prev,
+         lag(c, 2) OVER w AS prev2,
+         lag(ts_us) OVER w AS prev_ts,
+         lag(ts_us, 2) OVER w AS prev2_ts
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), tagged AS (
+  SELECT user_id,
+         ts_us - ts_us % {DAY_US} AS bucket_us,
+         c, prev, prev2,
+         (prev_ts IS NOT NULL
+          AND prev_ts - prev_ts % {DAY_US} = ts_us - ts_us % {DAY_US}) AS in1,
+         (prev_ts IS NOT NULL
+          AND prev_ts - prev_ts % {DAY_US} = ts_us - ts_us % {DAY_US}
+          AND prev2_ts IS NOT NULL
+          AND prev2_ts - prev2_ts % {DAY_US} = ts_us - ts_us % {DAY_US}) AS in2
+  FROM lagged
+), g AS (
+  SELECT user_id AS conv_id, bucket_us,
+         COUNT(*) AS n,
+         SUM(c) AS s1,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2,
+         SUM(CASE WHEN in1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN in1 THEN c - prev END) AS d1,
+         SUM(CASE WHEN in1 THEN CAST(c - prev AS HUGEINT)
+                            * CAST(c - prev AS HUGEINT) END) AS d2,
+         SUM(CASE WHEN in2 THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN in2 THEN c - prev * 2 + prev2 END) AS e1,
+         SUM(CASE WHEN in2 THEN CAST(c - prev * 2 + prev2 AS HUGEINT)
+                            * CAST(c - prev * 2 + prev2 AS HUGEINT) END) AS e2
+  FROM tagged GROUP BY 1, 2
+), m AS (
+  SELECT conv_id, bucket_us, n, n1, n2,
+         CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS m2x,
+         CAST(n1 AS HUGEINT) * d2 - CAST(d1 AS HUGEINT) * d1 AS m2d,
+         CAST(n2 AS HUGEINT) * e2 - CAST(e1 AS HUGEINT) * e1 AS m2dd
+  FROM g
+)
+SELECT conv_id, bucket_us, n,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       {split_dbl("m2x")} / {split_dbl("CAST(n AS HUGEINT) * n")} AS activity,
+       sqrt({split_dbl("m2d * n * n")}
+            / {split_dbl("m2x * n1 * n1")}) AS mobility,
+       sqrt({split_dbl("m2dd * n1 * n1")}
+            / {split_dbl("m2d * n2 * n2")})
+         / sqrt({split_dbl("m2d * n * n")}
+                / {split_dbl("m2x * n1 * n1")}) AS complexity
+FROM m
+WHERE n2 >= 1 AND m2x > 0 AND m2d > 0
+"""
+
+
+# --- q63: EMG count features (SSC, WAMP, MYOP) per (conv, 1h bucket) ----------
+
+WAMP_EPS_CENTS = 2000  # |Δ| > 20.00 value units counts as a Willison event
+MYOP_EPS_CENTS = 5000  # |x| > 50.00 value units counts as "active"
+
+
+def q63_ssc_wamp_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMG-canon count features per (conv, 1h bucket) — slope sign changes
+    (SSC: interior points where the signal turns, ``(x−prev)·(x−next) > 0``
+    with both neighbors in-bucket), Willison amplitude (WAMP: consecutive
+    in-bucket pairs with ``|Δ| >`` threshold) and myopulse rate (MYOP:
+    fraction of samples above an amplitude threshold) — the remaining
+    members of the classic time-domain set q53 (waveform length) belongs to.
+
+    Exactness: all three are exact integer counts (products of cent deltas
+    peak at ~4·10⁸ ≪ int64, no widening needed); the only double is MYOP's
+    rate, one pinned division.  Thresholds are module constants — part of
+    the feature definition, mirrored into the oracle at build time.
+
+    Scale shape: one window (lag+lead share it) + one hash agg on conv —
+    a single shuffle, no Python.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    b = lambda col: _bucket(col, HOUR_US)  # noqa: E731
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("prev", F.lag("c").over(w))
+        .withColumn("nxt", F.lead("c").over(w))
+        .withColumn("prev_ts", F.lag("ts_us").over(w))
+        .withColumn("nxt_ts", F.lead("ts_us").over(w))
+    )
+    in_prev = F.col("prev_ts").isNotNull() & (
+        b(F.col("prev_ts")) == b(F.col("ts_us"))
+    )
+    in_next = F.col("nxt_ts").isNotNull() & (b(F.col("nxt_ts")) == b(F.col("ts_us")))
+    ssc_hit = in_prev & in_next & (
+        (F.col("c") - F.col("prev")) * (F.col("c") - F.col("nxt")) > 0
+    )
+    wamp_hit = in_prev & (
+        F.abs(F.col("c") - F.col("prev")) > F.lit(WAMP_EPS_CENTS)
+    )
+    myop_hit = F.abs(F.col("c")) > F.lit(MYOP_EPS_CENTS)
+    g = d.groupBy(
+        F.col("user_id").alias("conv_id"), b(F.col("ts_us")).alias("bucket_us")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(in_prev.cast("long")).alias("n_pairs"),
+        F.sum(ssc_hit.cast("long")).alias("ssc"),
+        F.sum(wamp_hit.cast("long")).alias("wamp"),
+        F.sum(myop_hit.cast("long")).alias("myop"),
+    )
+    return g.select(
+        "conv_id",
+        "bucket_us",
+        "n",
+        "n_pairs",
+        "ssc",
+        "wamp",
+        "myop",
+        (F.col("myop").cast("double") / F.col("n").cast("double")).alias(
+            "myop_rate"
+        ),
+    )
+
+
+_Q63_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+), lagged AS (
+  SELECT user_id, ts_us, c,
+         lag(c) OVER w AS prev,
+         lead(c) OVER w AS nxt,
+         lag(ts_us) OVER w AS prev_ts,
+         lead(ts_us) OVER w AS nxt_ts
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), tagged AS (
+  SELECT user_id,
+         ts_us - ts_us % {HOUR_US} AS bucket_us,
+         c, prev, nxt,
+         (prev_ts IS NOT NULL
+          AND prev_ts - prev_ts % {HOUR_US} = ts_us - ts_us % {HOUR_US}) AS in_prev,
+         (nxt_ts IS NOT NULL
+          AND nxt_ts - nxt_ts % {HOUR_US} = ts_us - ts_us % {HOUR_US}) AS in_next
+  FROM lagged
+)
+SELECT user_id AS conv_id, bucket_us,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN in_prev THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN in_prev AND in_next
+                      AND (c - prev) * (c - nxt) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS ssc,
+       CAST(SUM(CASE WHEN in_prev AND abs(c - prev) > {WAMP_EPS_CENTS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS wamp,
+       CAST(SUM(CASE WHEN abs(c) > {MYOP_EPS_CENTS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS myop,
+       CAST(SUM(CASE WHEN abs(c) > {MYOP_EPS_CENTS} THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS myop_rate
+FROM tagged
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q43_time_weighted_avg_1h": q43_time_weighted_avg_1h,
     "q44_autocorr_lag1": q44_autocorr_lag1,
@@ -1605,6 +1842,8 @@ QUERIES = {
     "q57_lttb_downsample": q57_lttb_downsample,
     "q60_percentile_sketch_1h": q60_percentile_sketch_1h,
     "q61_interpolated_twa_1h": q61_interpolated_twa_1h,
+    "q62_hjorth_1d": q62_hjorth_1d,
+    "q63_ssc_wamp_1h": q63_ssc_wamp_1h,
 }
 
 ORACLE_SQL = {
@@ -1624,4 +1863,6 @@ ORACLE_SQL = {
     "q57_lttb_downsample": _Q57_SQL,
     "q60_percentile_sketch_1h": _Q60_SQL,
     "q61_interpolated_twa_1h": _Q61_SQL,
+    "q62_hjorth_1d": _Q62_SQL,
+    "q63_ssc_wamp_1h": _Q63_SQL,
 }
