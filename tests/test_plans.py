@@ -170,3 +170,20 @@ def test_round3_signal_query_shapes(spark, sf_dir):
         assert plan.count("FlatMapGroupsInPandas") == 1, q.__name__
         assert plan.count("Exchange hashpartitioning") == 1, q.__name__
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round4_query_shapes(spark, sf_dir):
+    """Round-4 additions keep their documented scale shapes: q62/q63 are
+    single-exchange JVM-only plans (one shared window + one hash agg on the
+    same conv key)."""
+    from features_engineering_of_motion_data_spark.queries.signal import (
+        q62_hjorth_1d,
+        q63_ssc_wamp_1h,
+    )
+
+    for q in (q62_hjorth_1d, q63_ssc_wamp_1h):
+        plan = _plan(q(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") <= 1, q.__name__
+        for node in ("BatchEvalPython", "ArrowEvalPython",
+                     "FlatMapGroupsInPandas", "MapInPandas"):
+            assert node not in plan, f"{q.__name__}: {node}"
