@@ -2,14 +2,16 @@
 metadata, processed through Arrow-batched ``mapInPandas`` (the
 training-data-pipeline surface).
 
-Codec status: **uncompressed WAV (RIFF/PCM) decode is REAL** — a pure-numpy
-chunk-walking parser (``decode_audio(backend='wav')``, public container
-spec, no dependencies). The container ships no image libraries, so the
-image/video codec step stays stubbed: ``decode_image(backend='pil')``
-raises ``NotImplementedError`` unless Pillow imports, and the deterministic
-``FAKE`` container format (fully specified below) keeps the Spark-side
-plumbing — schema, partition behaviour, UDF signatures, batch shapes — real
-and tested for those media types.
+Codec status: **uncompressed WAV (RIFF/PCM) audio decode and uncompressed
+BMP (BITMAPINFOHEADER, 8/24/32-bpp) image decode are REAL** — pure-numpy
+parsers of public container specs, no dependencies
+(``decode_audio(backend='wav')``, ``decode_image(backend='bmp')``).
+Compressed formats need external codecs this container doesn't ship:
+``decode_image(backend='pil')`` raises ``NotImplementedError`` unless
+Pillow imports, and the deterministic ``FAKE`` container format (fully
+specified below) keeps the Spark-side plumbing — schema, partition
+behaviour, UDF signatures, batch shapes — real and tested for video, the
+one media type with no dependency-free public container.
 
 FAKE container layout (little-endian):
     bytes 0-3   magic  b"FAKE"
@@ -154,17 +156,47 @@ def extract_metadata(media: DataFrame) -> DataFrame:
 def decode_image(media: DataFrame, backend: str = "fake") -> DataFrame:
     """Decode + per-object intensity stats.
 
-    ``backend='pil'`` requires Pillow (absent in this container →
-    NotImplementedError, by design); ``backend='fake'`` interprets the FAKE
-    payload as raw uint8 samples — numpy-vectorized per object.
+    ``backend='bmp'`` is a REAL codec: uncompressed BMP parsed with pure
+    numpy (``decode_bmp_bytes``) — emits BMP_STATS_SCHEMA rows, skipping
+    invalid/compressed payloads per-row.  ``backend='pil'`` requires Pillow
+    (absent in this container → NotImplementedError, by design) for
+    compressed formats; ``backend='fake'`` interprets the FAKE payload as
+    raw uint8 samples — numpy-vectorized per object.
     """
+    if backend == "bmp":
+
+        def gen_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    parsed = decode_bmp_bytes(r.payload)
+                    if parsed is None:
+                        continue
+                    w, h, bpp, x = parsed
+                    rows.append(
+                        (
+                            int(r.doc_id),
+                            w,
+                            h,
+                            bpp,
+                            float(np.mean(x)),
+                            float(np.std(x)),
+                            int(x.size),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in BMP_STATS_SCHEMA.fields]
+                )
+
+        return media.mapInPandas(gen_bmp, BMP_STATS_SCHEMA)
     if backend == "pil":
         try:
             import PIL  # noqa: F401
         except ImportError as e:  # pragma: no cover - env-dependent
             raise NotImplementedError(
                 "real image decode needs Pillow, which is not installed; "
-                "use backend='fake' for the plumbing path"
+                "use backend='bmp' (built-in, uncompressed) or install "
+                "Pillow for compressed formats"
             ) from e
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -191,6 +223,89 @@ def decode_image(media: DataFrame, backend: str = "fake") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in STATS_SCHEMA.fields])
 
     return media.mapInPandas(gen, STATS_SCHEMA)
+
+
+# --- real image codec: uncompressed BMP, pure numpy --------------------------
+
+BMP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bpp", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("std_intensity", T.DoubleType()),
+        T.StructField("n_pixels", T.LongType()),
+    ]
+)
+
+
+def make_bmp_payload(doc_id: int, width: int = 16, height: int = 12, bpp: int = 24) -> bytes:
+    """A real, canonical BMP file (BITMAPINFOHEADER, uncompressed, bottom-up)
+    with deterministic pixel content derived from ``doc_id``."""
+    import hashlib
+
+    if bpp not in (8, 24, 32):
+        raise ValueError(bpp)
+    seed = int.from_bytes(hashlib.md5(f"bmp:{doc_id}".encode()).digest()[:8], "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    bytes_pp = bpp // 8
+    row_raw = width * bytes_pp
+    row_padded = (row_raw + 3) & ~3
+    palette = b""
+    if bpp == 8:  # 8-bpp BMPs carry a 256-entry BGRA palette; use grayscale
+        palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    rows = []
+    for _ in range(height):
+        row = rng.integers(0, 256, size=row_raw, dtype=np.uint8).tobytes()
+        rows.append(row + b"\x00" * (row_padded - row_raw))
+    data = b"".join(rows)
+    offset = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(data), 2835, 2835,
+        256 if bpp == 8 else 0, 0,
+    )
+    header = b"BM" + struct.pack("<IHHI", offset + len(data), 0, 0, offset)
+    return header + info + palette + data
+
+
+def decode_bmp_bytes(payload: bytes):
+    """Pure-numpy BMP parse → (width, height, bpp, intensity float64 array)
+    or None for invalid/compressed/unsupported payloads.
+
+    Spec (public): 14-byte file header ('BM', file size, reserved, pixel
+    offset) + BITMAPINFOHEADER (size≥40: width i32, height i32 — positive
+    means bottom-up, irrelevant to whole-image stats — planes, bpp,
+    compression (0 = BI_RGB only here)); pixel rows padded to 4 bytes.
+    Intensity is the mean of a pixel's channels (8-bpp: the palette-free
+    raw index, the grayscale convention; 24/32-bpp: mean of B,G,R —
+    the alpha byte of 32-bpp is excluded)."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (offset,) = struct.unpack("<I", payload[10:14])
+    hdr_size, w, h = struct.unpack("<Iii", payload[14:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if hdr_size < 40 or compression != 0 or bpp not in (8, 24, 32):
+        return None
+    if w <= 0 or h == 0 or planes != 1:
+        return None
+    height = abs(h)
+    bytes_pp = bpp // 8
+    row_raw = w * bytes_pp
+    row_padded = (row_raw + 3) & ~3
+    need = offset + row_padded * height
+    if len(payload) < need:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_padded * height, offset=offset
+    ).reshape(height, row_padded)[:, :row_raw]
+    if bpp == 8:
+        x = rows.astype(np.float64).ravel()
+    else:
+        px = rows.reshape(height, w, bytes_pp).astype(np.float64)
+        x = px[:, :, :3].mean(axis=2).ravel()  # B,G,R; drop 32-bpp alpha
+    return int(w), height, int(bpp), x
 
 
 # --- real audio codec: uncompressed WAV (RIFF/PCM), pure numpy ---------------

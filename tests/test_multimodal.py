@@ -245,3 +245,87 @@ def test_unknown_audio_backend_raises():
 
     with pytest.raises(NotImplementedError, match="'wav'"):
         decode_audio(None, backend="mp3")
+
+
+# --- real BMP codec ------------------------------------------------------------
+
+
+def _bmp_reference(doc_id, width, height, bpp):
+    """Independent reference: regenerate the SAME deterministic pixel rows
+    the writer produced (including its per-row padding draws) and compute
+    intensity stats directly — never calling the parser."""
+    import hashlib
+
+    seed = int.from_bytes(hashlib.md5(f"bmp:{doc_id}".encode()).digest()[:8], "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    bytes_pp = bpp // 8
+    row_raw = width * bytes_pp
+    rows = np.stack(
+        [rng.integers(0, 256, size=row_raw, dtype=np.uint8) for _ in range(height)]
+    )
+    if bpp == 8:
+        x = rows.astype(np.float64).ravel()
+    else:
+        px = rows.reshape(height, width, bytes_pp).astype(np.float64)
+        x = px[:, :, :3].mean(axis=2).ravel()
+    return float(np.mean(x)), float(np.std(x)), int(x.size)
+
+
+def test_bmp_roundtrip_matches_numpy_reference(spark):
+    import pandas as pd
+
+    from features_engineering_of_motion_data_spark.operators.multimodal import (
+        decode_image,
+        make_bmp_payload,
+    )
+
+    cases = [  # (doc_id, width, height, bpp) — widths chosen to force padding
+        (1, 16, 12, 24),
+        (2, 5, 7, 24),    # row_raw=15 -> padded to 16
+        (3, 10, 4, 8),    # paletted grayscale, row padded 10 -> 12
+        (4, 6, 3, 32),    # alpha channel excluded from intensity
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [c[0] for c in cases],
+            "payload": [make_bmp_payload(*c) for c in cases],
+        }
+    )
+    got = (
+        decode_image(spark.createDataFrame(pdf), backend="bmp")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(got) == len(cases)
+    for doc_id, w, h, bpp in cases:
+        row = got.loc[doc_id]
+        assert (row["width"], row["height"], row["bpp"]) == (w, h, bpp)
+        mean, std, n = _bmp_reference(doc_id, w, h, bpp)
+        assert row["n_pixels"] == n
+        assert row["mean_intensity"] == mean
+        assert row["std_intensity"] == std
+
+
+def test_bmp_rejects_invalid_and_compressed(spark):
+    import struct as _struct
+
+    import pandas as pd
+
+    from features_engineering_of_motion_data_spark.operators.multimodal import (
+        decode_image,
+        make_bmp_payload,
+    )
+
+    good = make_bmp_payload(9)
+    rle = bytearray(good)
+    rle[30:34] = _struct.pack("<I", 1)  # BI_RLE8 -> rejected (uncompressed only)
+    truncated = good[: len(good) // 2]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "payload": [b"XX not a bmp", bytes(rle), truncated, good],
+        }
+    )
+    got = decode_image(spark.createDataFrame(pdf), backend="bmp").toPandas()
+    assert got["doc_id"].tolist() == [4]
