@@ -315,6 +315,16 @@ def main() -> None:
         "quiet_samples_within_5pct": {str(c): n for c, n in sorted(quiet.items())},
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
+    # Hand-written annotation keys (e.g. pair_2_8_exclusion) must survive
+    # accumulator rewrites: carry over any existing key this run didn't set.
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            for k, v in prev.items():
+                result.setdefault(k, v)
+        except (OSError, ValueError):
+            pass
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result["efficiency_Nx4"]))
