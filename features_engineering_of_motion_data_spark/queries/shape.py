@@ -1,0 +1,447 @@
+"""Shape / distribution / model-coefficient features (round-4 additions).
+
+The remaining members of the classic motion/EMG time-domain feature canon
+(Phinyomark et al. 2012; Figo et al. 2010) not yet covered by q01/q51–q54/
+q62/q63: higher temporal moments + integrated absolute value (q64), binned
+histogram diversity (q65), AR(2) model coefficients via Yule–Walker (q66),
+vibration-canon amplitude factors (q67) and burst run-length statistics
+(q68, gaps-and-islands).
+
+All follow the package's exact-integer bridging contract (see
+``queries/__init__.py``): every cross-engine aggregate is an exact integer
+(cent BIGINTs, widened to decimal(38,0)/HUGEINT before any product that
+could overflow int64), and every emitted double is produced by a *pinned*
+IEEE-754 op sequence — each op individually correctly rounded (add, sub,
+mul, div, sqrt; DuckDB integer→double casts above 2⁵³ via
+:func:`~.sqlexact.split_dbl`) — written identically in Spark and DuckDB, so
+the driver's value-hash matches bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .events import DAY_US, HOUR_US, _base, _bucket
+from .signal import _dec
+from .sqlexact import split_dbl
+
+_C_SQL = """
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+"""
+
+
+# --- q64: higher temporal moments + IEMG/MAV per (conv, 1d bucket) ------------
+
+
+def q64_temporal_moments_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher temporal moments TM3/TM4/TM5 plus integrated absolute value
+    (IEMG = Σ|x|) and mean absolute value (MAV = IEMG/n) per (conv, 1d
+    bucket) — the order-3..5 companions of A6's energy in the EMG/motion
+    time-domain canon (TMk = |Σxᵏ|/n for odd k, Σxᵏ/n for even k).
+
+    Exactness: Σ|c|, Σc³, Σc⁴, Σc⁵ are exact (cents widened to
+    decimal(38,0)/HUGEINT before the powers); each emitted double is ONE
+    pinned division of a correctly-rounded cast.  Headroom: n·|c|⁵ < 2¹⁰¹
+    (split_dbl fidelity) holds to ~10⁶ samples per (conv, 1d) bucket at the
+    fixture's |c| ≤ 5·10⁴ cent scale (Σc⁵ ≤ 3·10²⁹).
+
+    Scale shape: one hash agg on conv — a single shuffle, no window, no
+    Python.
+    """
+    c = _dec(F.col("c"))
+    c2 = c * c
+    g = (
+        _base(spark, sf_dir)
+        .groupBy(
+            F.col("user_id").alias("conv_id"),
+            _bucket(F.col("ts_us"), DAY_US).alias("bucket_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.abs(F.col("c"))).alias("iemg"),
+            F.sum(c2 * c).alias("s3"),
+            F.sum(c2 * c2).alias("s4"),
+            F.sum(c2 * c2 * c).alias("s5"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return g.select(
+        "conv_id",
+        "bucket_us",
+        "n",
+        "iemg",
+        (F.col("iemg").cast("double") / nd).alias("mav"),
+        (F.abs(F.col("s3")).cast("double") / nd).alias("tm3"),
+        (F.col("s4").cast("double") / nd).alias("tm4"),
+        (F.abs(F.col("s5")).cast("double") / nd).alias("tm5"),
+    )
+
+
+_Q64_SQL = f"""
+WITH c AS ({_C_SQL}), g AS (
+  SELECT user_id AS conv_id,
+         ts_us - ts_us % {DAY_US} AS bucket_us,
+         COUNT(*) AS n,
+         CAST(SUM(abs(c)) AS BIGINT) AS iemg,
+         SUM(CAST(c AS HUGEINT) * c * c) AS s3,
+         SUM(CAST(c AS HUGEINT) * c * c * c) AS s4,
+         SUM(CAST(c AS HUGEINT) * c * c * c * c) AS s5
+  FROM c GROUP BY 1, 2
+)
+SELECT conv_id, bucket_us, n, iemg,
+       CAST(iemg AS DOUBLE) / CAST(n AS DOUBLE) AS mav,
+       {split_dbl("abs(s3)")} / CAST(n AS DOUBLE) AS tm3,
+       {split_dbl("s4")} / CAST(n AS DOUBLE) AS tm4,
+       {split_dbl("abs(s5)")} / CAST(n AS DOUBLE) AS tm5
+FROM g
+"""
+
+
+# --- q65: binned histogram diversity per (conv, 1h bucket) --------------------
+
+HIST_BIN_CENTS = 2500  # 25.00 value units per bin — part of the definition
+
+
+def q65_histogram_diversity_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binned-distribution features per (conv, 1h bucket): number
+    of occupied bins, the modal bin and its count (tie → smallest bin, a
+    deterministic rule), and Gini impurity ``1 − Σpᵢ²`` — the log-free
+    diversity measure of the histogram feature family (Figo et al. §3.1).
+    Shannon entropy is deliberately NOT emitted: it needs log2, which is not
+    correctly rounded (and so not bitwise-pinnable) across JVM/libm.
+
+    Bin index is ``floor(c / 2500.0)``: both engines perform the same
+    correctly-rounded double division, so the floor is identical even when
+    c/2500 is inexact.  Gini = (n² − Σcntᵢ²)/n² is ONE pinned division of
+    exact BIGINTs (n ≤ ~10⁶ per bucket keeps n² < 2⁵³, so plain casts are
+    exact).  Mode tie-break via max over (cnt, −bin) pairs.
+
+    Scale shape: two hash aggs — (conv, bucket, bin) then (conv, bucket).
+    The second groups a prefix of the first's key, so AQE coalesces both
+    onto small exchanges; counts-per-bin shrink the data to |buckets|·|bins|
+    rows before the second shuffle.  No window, no Python.
+    """
+    bins = (
+        _base(spark, sf_dir)
+        .groupBy(
+            F.col("user_id").alias("conv_id"),
+            _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"),
+            F.floor(F.col("c") / F.lit(float(HIST_BIN_CENTS))).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    g = bins.groupBy("conv_id", "bucket_us").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
+        F.max(
+            F.struct(F.col("cnt").alias("a"), (-F.col("bin")).alias("b"))
+        ).alias("m"),
+    )
+    n = F.col("n")
+    return g.select(
+        "conv_id",
+        "bucket_us",
+        "n",
+        "n_bins",
+        (-F.col("m.b")).alias("mode_bin"),
+        F.col("m.a").alias("mode_n"),
+        (
+            (n * n - F.col("sq")).cast("double") / (n * n).cast("double")
+        ).alias("gini"),
+    )
+
+
+_Q65_SQL = f"""
+WITH c AS ({_C_SQL}), bins AS (
+  SELECT user_id AS conv_id,
+         ts_us - ts_us % {HOUR_US} AS bucket_us,
+         CAST(floor(CAST(c AS DOUBLE) / {HIST_BIN_CENTS}.0) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM c GROUP BY 1, 2, 3
+), g AS (
+  SELECT conv_id, bucket_us,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         COUNT(*) AS n_bins,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sq,
+         MAX(cnt) AS mode_n
+  FROM bins GROUP BY 1, 2
+)
+SELECT g.conv_id, g.bucket_us, g.n, g.n_bins,
+       (SELECT MIN(b.bin) FROM bins b
+        WHERE b.conv_id = g.conv_id AND b.bucket_us = g.bucket_us
+          AND b.cnt = g.mode_n) AS mode_bin,
+       CAST(g.mode_n AS BIGINT) AS mode_n,
+       CAST(g.n * g.n - g.sq AS DOUBLE) / CAST(g.n * g.n AS DOUBLE) AS gini
+FROM g
+"""
+
+
+# --- q66: AR(2) coefficients via Yule–Walker per conversation -----------------
+
+
+def q66_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order autoregressive model coefficients per conversation via
+    the Yule–Walker equations — the ``arCoeff`` member of the HAR feature
+    canon (UCI-HAR uses Burg AR(4); Yule–Walker on the sample ACF is the
+    textbook closed form and is exactly bridgeable):
+
+        φ₁ = r₁(1 − r₂)/(1 − r₁²),   φ₂ = (r₂ − r₁²)/(1 − r₁²)
+
+    with r_k the sample lag-k autocorrelation under q44's convention
+    (overall mean, lag-0 denominator).
+
+    Exactness: r₁ = N₁/D and r₂ = N₂/D where (q44's n²-scaling, lag-k
+    generalized) ``N_k = n²·Σx_i·x_{i−k} − n·s1·(sh_k + st_k) + (n−k)·s1²``
+    and ``D = n·(n·s2 − s1²)`` are exact decimal(38,0)/HUGEINT integers.
+    r₁, r₂ are each ONE pinned division of split_dbl casts; φ₁, φ₂ are then
+    short identical double-op trees on r₁, r₂ (every op correctly rounded
+    in both engines, so bitwise-stable).  Headroom: |N_k|, |D| ≲ n³·c² <
+    2¹⁰¹ holds to ~10⁵ samples per conversation at cent scale.
+
+    Scale shape: one window (both lags share it) + one hash agg on conv —
+    a single shuffle, no Python.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("p1", F.lag("c").over(w))
+        .withColumn("p2", F.lag("c", 2).over(w))
+    )
+    h1, h2 = F.col("p1").isNotNull(), F.col("p2").isNotNull()
+    g = d.groupBy(F.col("user_id").alias("conv_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(_dec(F.col("c")) * _dec(F.col("c"))).alias("s2"),
+        F.sum(F.when(h1, _dec(F.col("p1")) * _dec(F.col("c")))).alias("sxy1"),
+        F.sum(F.when(h1, F.col("p1"))).alias("sh1"),
+        F.sum(F.when(h1, F.col("c"))).alias("st1"),
+        F.sum(F.when(h2, _dec(F.col("p2")) * _dec(F.col("c")))).alias("sxy2"),
+        F.sum(F.when(h2, F.col("p2"))).alias("sh2"),
+        F.sum(F.when(h2, F.col("c"))).alias("st2"),
+    )
+    n, s1 = _dec(F.col("n")), _dec(F.col("s1"))
+
+    def _num(k: int) -> F.Column:
+        return (
+            n * n * F.col(f"sxy{k}")
+            - n * s1 * _dec(F.col(f"sh{k}") + F.col(f"st{k}"))
+            + _dec(F.col("n") - k) * s1 * s1
+        )
+
+    den = n * (n * F.col("s2") - s1 * s1)
+    r1 = _num(1).cast("double") / den.cast("double")
+    r2 = _num(2).cast("double") / den.cast("double")
+    yw_den = F.lit(1.0) - r1 * r1
+    return g.filter((F.col("n") >= 5) & (den != 0)).select(
+        "conv_id",
+        "n",
+        r1.alias("r1"),
+        r2.alias("r2"),
+        (r1 * (F.lit(1.0) - r2) / yw_den).alias("phi1"),
+        ((r2 - r1 * r1) / yw_den).alias("phi2"),
+    )
+
+
+def _q66_num(k: int) -> str:
+    return f"""CAST(n AS HUGEINT) * n * sxy{k}
+              - CAST(n AS HUGEINT) * s1 * (sh{k} + st{k})
+              + CAST(n - {k} AS HUGEINT) * s1 * s1"""
+
+
+_Q66_SQL = f"""
+WITH c AS ({_C_SQL}), lagged AS (
+  SELECT user_id, c, lag(c) OVER w AS p1, lag(c, 2) OVER w AS p2
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), g AS (
+  SELECT user_id AS conv_id,
+         COUNT(*) AS n,
+         SUM(c) AS s1,
+         SUM(CAST(c AS HUGEINT) * c) AS s2,
+         SUM(CASE WHEN p1 IS NOT NULL
+                  THEN CAST(p1 AS HUGEINT) * c END) AS sxy1,
+         SUM(CASE WHEN p1 IS NOT NULL THEN p1 END) AS sh1,
+         SUM(CASE WHEN p1 IS NOT NULL THEN c END) AS st1,
+         SUM(CASE WHEN p2 IS NOT NULL
+                  THEN CAST(p2 AS HUGEINT) * c END) AS sxy2,
+         SUM(CASE WHEN p2 IS NOT NULL THEN p2 END) AS sh2,
+         SUM(CASE WHEN p2 IS NOT NULL THEN c END) AS st2
+  FROM lagged GROUP BY 1
+), r AS (
+  SELECT conv_id, n,
+         {split_dbl(_q66_num(1))}
+           / {split_dbl("CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)")} AS r1,
+         {split_dbl(_q66_num(2))}
+           / {split_dbl("CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)")} AS r2
+  FROM g
+  WHERE n >= 5
+    AND CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * s2
+          - CAST(s1 AS HUGEINT) * s1) <> 0
+)
+SELECT conv_id, n, r1, r2,
+       r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+       (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+FROM r
+"""
+
+
+# --- q67: amplitude factors per (conv, 1h bucket) -----------------------------
+
+
+def q67_amplitude_factors_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vibration-canon amplitude factors per (conv, 1h bucket): peak-to-peak,
+    peak (max |x|), and the three classic dimensionless shape ratios —
+    crest factor (peak/RMS), impulse factor (peak/MAV) and shape factor
+    (RMS/MAV).  Clearance factor is deliberately omitted: it sums √|xᵢ|
+    (irrational doubles), whose total is partitioning-order-dependent and
+    so not exactly reproducible — the package contract forbids it.
+
+    Exactness: ptp, peak, Σ|c|, Σc² are exact integers; rms =
+    √(split(s2)/n), crest = peak/rms, mav = iemg/n, impulse = peak/mav,
+    shape = rms/mav — identical correctly-rounded op trees both sides.
+    Rows with iemg = 0 (all-zero buckets, where the ratios are 0/0) are
+    excluded by definition.
+
+    Scale shape: one hash agg on conv — a single shuffle, no window, no
+    Python.
+    """
+    g = (
+        _base(spark, sf_dir)
+        .groupBy(
+            F.col("user_id").alias("conv_id"),
+            _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("c") - F.min("c")).alias("ptp"),
+            F.max(F.abs(F.col("c"))).alias("peak"),
+            F.sum(F.abs(F.col("c"))).alias("iemg"),
+            F.sum(_dec(F.col("c")) * _dec(F.col("c"))).alias("s2"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    rms = F.sqrt(F.col("s2").cast("double") / nd)
+    mav = F.col("iemg").cast("double") / nd
+    return g.filter(F.col("iemg") > 0).select(
+        "conv_id",
+        "bucket_us",
+        "n",
+        "ptp",
+        "peak",
+        rms.alias("rms"),
+        mav.alias("mav"),
+        (F.col("peak").cast("double") / rms).alias("crest"),
+        (F.col("peak").cast("double") / mav).alias("impulse"),
+        (rms / mav).alias("shape"),
+    )
+
+
+_Q67_SQL = f"""
+WITH c AS ({_C_SQL}), g AS (
+  SELECT user_id AS conv_id,
+         ts_us - ts_us % {HOUR_US} AS bucket_us,
+         COUNT(*) AS n,
+         MAX(c) - MIN(c) AS ptp,
+         MAX(abs(c)) AS peak,
+         CAST(SUM(abs(c)) AS BIGINT) AS iemg,
+         SUM(CAST(c AS HUGEINT) * c) AS s2
+  FROM c GROUP BY 1, 2
+)
+SELECT conv_id, bucket_us, n, ptp, peak,
+       sqrt({split_dbl("s2")} / CAST(n AS DOUBLE)) AS rms,
+       CAST(iemg AS DOUBLE) / CAST(n AS DOUBLE) AS mav,
+       CAST(peak AS DOUBLE)
+         / sqrt({split_dbl("s2")} / CAST(n AS DOUBLE)) AS crest,
+       CAST(peak AS DOUBLE)
+         / (CAST(iemg AS DOUBLE) / CAST(n AS DOUBLE)) AS impulse,
+       sqrt({split_dbl("s2")} / CAST(n AS DOUBLE))
+         / (CAST(iemg AS DOUBLE) / CAST(n AS DOUBLE)) AS shape
+FROM g
+WHERE iemg > 0
+"""
+
+
+# --- q68: burst run-length statistics per conversation -------------------------
+
+BURST_EPS_CENTS = 5000  # |x| > 50.00 value units = "active" (MYOP threshold)
+
+
+def q68_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst (run-length) statistics per conversation — gaps-and-islands over
+    the activity indicator ``|x| > threshold`` in stable turn order: number
+    of maximal active runs, total active turns, the longest run, and mean
+    run length.  The run-length view of activity complements q63's MYOP
+    (which only counts active samples, blind to their clustering).
+
+    Islands via the classic two-row_number difference: ``island =
+    row_number(all rows) − row_number(active rows)`` is constant within a
+    maximal active run and distinct across runs.  All outputs are exact
+    integers except mean_len — ONE pinned division.
+
+    Scale shape: both windows and both aggs key on conv (the island agg on
+    (conv, island) keeps conv as a prefix); data shrinks to one row per run
+    after the first agg.  No Python.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("rn_all", F.row_number().over(w))
+        .filter(F.abs(F.col("c")) > F.lit(BURST_EPS_CENTS))
+        .withColumn("rn_act", F.row_number().over(w))
+    )
+    runs = d.groupBy(
+        F.col("user_id").alias("conv_id"),
+        (F.col("rn_all") - F.col("rn_act")).alias("island"),
+    ).agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_bursts"),
+        F.sum("len").alias("active_turns"),
+        F.max("len").alias("max_len"),
+        (F.sum("len").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_len"
+        ),
+    )
+
+
+_Q68_SQL = f"""
+WITH c AS ({_C_SQL}), flagged AS (
+  SELECT user_id, ts_us, event_id, c,
+         row_number() OVER w AS rn_all
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), active AS (
+  SELECT user_id,
+         rn_all - row_number() OVER w AS island
+  FROM flagged
+  WHERE abs(c) > {BURST_EPS_CENTS}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), runs AS (
+  SELECT user_id AS conv_id, island, COUNT(*) AS len
+  FROM active GROUP BY 1, 2
+)
+SELECT conv_id,
+       COUNT(*) AS n_bursts,
+       CAST(SUM(len) AS BIGINT) AS active_turns,
+       MAX(len) AS max_len,
+       CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_len
+FROM runs GROUP BY 1
+"""
+
+
+QUERIES = {
+    "q64_temporal_moments_1d": q64_temporal_moments_1d,
+    "q65_histogram_diversity_1h": q65_histogram_diversity_1h,
+    "q66_ar2_yule_walker": q66_ar2_yule_walker,
+    "q67_amplitude_factors_1h": q67_amplitude_factors_1h,
+    "q68_burst_runs": q68_burst_runs,
+}
+
+ORACLE_SQL = {
+    "q64_temporal_moments_1d": _Q64_SQL,
+    "q65_histogram_diversity_1h": _Q65_SQL,
+    "q66_ar2_yule_walker": _Q66_SQL,
+    "q67_amplitude_factors_1h": _Q67_SQL,
+    "q68_burst_runs": _Q68_SQL,
+}

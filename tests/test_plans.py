@@ -187,3 +187,23 @@ def test_round4_query_shapes(spark, sf_dir):
         for node in ("BatchEvalPython", "ArrowEvalPython",
                      "FlatMapGroupsInPandas", "MapInPandas"):
             assert node not in plan, f"{q.__name__}: {node}"
+
+
+def test_shape_query_plans(spark, sf_dir):
+    """queries/shape.py scale shapes: q64/q66/q67 are single-exchange
+    JVM-only plans (one hash agg, q66 sharing its window's exchange);
+    q65/q68 are two-level aggregations (bin/island level then bucket/conv
+    level) — at most 3 exchanges, all keyed on a conv-prefixed key; none
+    may contain a Python node."""
+    from features_engineering_of_motion_data_spark.queries import shape
+
+    single = (shape.q64_temporal_moments_1d, shape.q66_ar2_yule_walker,
+              shape.q67_amplitude_factors_1h)
+    multi = (shape.q65_histogram_diversity_1h, shape.q68_burst_runs)
+    for q in single + multi:
+        plan = _plan(q(spark, sf_dir))
+        cap = 1 if q in single else 3
+        assert plan.count("Exchange hashpartitioning") <= cap, q.__name__
+        for node in ("BatchEvalPython", "ArrowEvalPython",
+                     "FlatMapGroupsInPandas", "MapInPandas"):
+            assert node not in plan, f"{q.__name__}: {node}"
