@@ -187,6 +187,11 @@ def main() -> None:
         # Python stage — times the per-group rfft + Arrow transfer)
         "q43_time_weighted_avg_1h",
         "q47_spectral_full",
+        # round-4 shape block representatives: q66 = the shared-lag-window +
+        # hash-agg shape (AR(2) Yule-Walker), q65 = the two-level
+        # (bin -> bucket) aggregation shape
+        "q65_histogram_diversity_1h",
+        "q66_ar2_yule_walker",
     )
     # q34 at the PRODUCTION parameterization (cos >= 0.8, 8 bands x 8 bits):
     # the fixture default (cos >= 0.4, 16x4) is banding's worst regime and

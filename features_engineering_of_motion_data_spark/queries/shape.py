@@ -430,12 +430,265 @@ FROM runs GROUP BY 1
 """
 
 
+# --- q69: dominant ACF lag per conversation ------------------------------------
+
+ACF_MAX_LAG = 8  # lags 1..8 scanned — part of the feature definition
+
+
+def q69_dominant_acf_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant periodicity via the autocorrelation function: the lag
+    k ∈ 1..8 maximizing the sample ACF r_k (q44's convention), plus r at
+    that lag — the time-domain stand-in for "dominant frequency" used by
+    the HAR literature when series are short/irregular.
+
+    Exactness: all r_k share the same positive denominator D, so
+    ``argmax_k r_k = argmax_k N_k`` is decided on the exact n²-scaled
+    integer numerators — no doubles touch the selection.  Ties break to
+    the smallest lag (deterministic).  The single emitted double r_dom is
+    ONE pinned division.  Headroom identical to q44/q66 (|N_k|, D ≲ n³c²
+    < 2¹⁰¹).
+
+    Scale shape: one shared lag window (8 lags) + one hash agg on conv —
+    a single shuffle, no Python.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = _base(spark, sf_dir)
+    for k in range(1, ACF_MAX_LAG + 1):
+        d = d.withColumn(f"p{k}", F.lag("c", k).over(w))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(_dec(F.col("c")) * _dec(F.col("c"))).alias("s2"),
+    ]
+    for k in range(1, ACF_MAX_LAG + 1):
+        h = F.col(f"p{k}").isNotNull()
+        aggs += [
+            F.sum(F.when(h, _dec(F.col(f"p{k}")) * _dec(F.col("c")))).alias(
+                f"sxy{k}"
+            ),
+            F.sum(F.when(h, F.col(f"p{k}"))).alias(f"sh{k}"),
+            F.sum(F.when(h, F.col("c"))).alias(f"st{k}"),
+        ]
+    g = d.groupBy(F.col("user_id").alias("conv_id")).agg(*aggs)
+    n, s1 = _dec(F.col("n")), _dec(F.col("s1"))
+
+    def _num(k: int) -> F.Column:
+        return (
+            n * n * F.col(f"sxy{k}")
+            - n * s1 * _dec(F.col(f"sh{k}") + F.col(f"st{k}"))
+            + _dec(F.col("n") - k) * s1 * s1
+        )
+
+    den = n * (n * F.col("s2") - s1 * s1)
+    best = F.greatest(
+        *[
+            F.struct(_num(k).alias("nk"), F.lit(-k).alias("mk"))
+            for k in range(1, ACF_MAX_LAG + 1)
+        ]
+    )
+    return g.filter((F.col("n") >= 2 * ACF_MAX_LAG) & (den > 0)).select(
+        "conv_id",
+        "n",
+        (-best["mk"]).alias("dominant_lag"),
+        (best["nk"].cast("double") / den.cast("double")).alias("r_dom"),
+    )
+
+
+def _q69_sql() -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(c, {k}) OVER w AS p{k}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    sums = ",\n         ".join(
+        f"""SUM(CASE WHEN p{k} IS NOT NULL
+                  THEN CAST(p{k} AS HUGEINT) * c END) AS sxy{k},
+         SUM(CASE WHEN p{k} IS NOT NULL THEN p{k} END) AS sh{k},
+         SUM(CASE WHEN p{k} IS NOT NULL THEN c END) AS st{k}"""
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    branches = "\n  UNION ALL\n".join(
+        f"""  SELECT conv_id, n, den, {k} AS k,
+         {_q66_num(k)} AS nk
+  FROM g"""
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH c AS ({_C_SQL}), lagged AS (
+  SELECT user_id, c,
+         {lag_cols}
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), g AS (
+  SELECT user_id AS conv_id,
+         COUNT(*) AS n,
+         SUM(c) AS s1,
+         SUM(CAST(c AS HUGEINT) * c) AS s2,
+         {sums},
+         CAST(COUNT(*) AS HUGEINT)
+           * (CAST(COUNT(*) AS HUGEINT) * SUM(CAST(c AS HUGEINT) * c)
+              - CAST(SUM(c) AS HUGEINT) * SUM(c)) AS den
+  FROM lagged GROUP BY user_id
+), lags AS (
+{branches}
+), pick AS (
+  SELECT conv_id, n, den, k, nk,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY nk DESC, k ASC) AS rn
+  FROM lags
+  WHERE n >= {2 * ACF_MAX_LAG} AND den > 0
+)
+SELECT conv_id, n,
+       CAST(k AS INT) AS dominant_lag,
+       {split_dbl("nk")} / {split_dbl("den")} AS r_dom
+FROM pick WHERE rn = 1
+"""
+
+
+# --- q70: PAA + SAX word per (conv, 1d bucket) --------------------------------
+
+SAX_SEGMENTS = 4
+# N(0,1) quartile breakpoints for the 4-symbol SAX alphabet (Lin et al. 2003).
+# Hard-coded shortest-repr double literals: both engines parse them to the
+# identical IEEE-754 double, so symbol comparisons are bitwise-aligned.
+SAX_B1 = -0.6744897501960817
+SAX_B3 = 0.6744897501960817
+
+
+def q70_paa_sax_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise Aggregate Approximation + SAX word (Lin et al. 2003, the
+    standard symbolic time-series representation) per (conv, 1d bucket):
+    the bucket's turns are split into 4 equal-count segments in stable
+    order, each segment's z-normalized mean (PAA) is mapped to one of 4
+    symbols at the N(0,1) quartile breakpoints, and the symbols concatenate
+    into the bucket's SAX word — the indexable shape fingerprint.
+
+    Exactness: segment assignment is ``floor((rank−1)·4 / n)`` computed as
+    the identical IEEE double division both sides (numerator ≤ 4n < 2⁵³ is
+    exact; the quotient is ≥ 1/n away from any integer it could mis-floor
+    to).  Each PAA value is a pinned tree on exact integers — seg_sum/seg_n,
+    minus s1/n, divided by √(split(n·s2 − s1²)/n²) — and symbols compare
+    those bitwise-identical doubles against hard-coded double literals, so
+    the words match exactly.  Buckets need n ≥ 4 (every segment non-empty)
+    and nonzero variance (exact predicate n·s2 − s1² > 0).
+
+    Scale shape: one window stack on (conv, bucket) (rank + bucket sums
+    share the partition key) + two hash aggs (segment level then bucket
+    level); all keys conv-prefixed.  No Python.
+    """
+    P = SAX_SEGMENTS
+    wb = Window.partitionBy("user_id", "bucket_us")
+    wo = wb.orderBy("ts_us", "event_id")
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("bucket_us", _bucket(F.col("ts_us"), DAY_US))
+        .withColumn("rk", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wb))
+        .withColumn("s1", F.sum("c").over(wb))
+        .withColumn("s2", F.sum(_dec(F.col("c")) * _dec(F.col("c"))).over(wb))
+        .withColumn(
+            "seg",
+            F.floor(
+                ((F.col("rk") - 1) * P).cast("double") / F.col("n").cast("double")
+            ),
+        )
+    )
+    segs = d.groupBy(
+        F.col("user_id").alias("conv_id"), "bucket_us", "seg"
+    ).agg(
+        F.count(F.lit(1)).alias("seg_n"),
+        F.sum("c").alias("seg_sum"),
+        F.first("n").alias("n"),
+        F.first("s1").alias("s1"),
+        F.first("s2").alias("s2"),
+    )
+    n = _dec(F.col("n"))
+    m2 = n * F.col("s2") - _dec(F.col("s1")) * _dec(F.col("s1"))
+    std = F.sqrt(m2.cast("double") / (F.col("n") * F.col("n")).cast("double"))
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    paa = (
+        F.col("seg_sum").cast("double") / F.col("seg_n").cast("double") - mean
+    ) / std
+    sym = (
+        F.when(paa < F.lit(SAX_B1), F.lit("a"))
+        .when(paa < F.lit(0.0), F.lit("b"))
+        .when(paa < F.lit(SAX_B3), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    z = segs.filter((F.col("n") >= P) & (m2 > 0)).select(
+        "conv_id", "bucket_us", "seg", "n", paa.alias("paa"), sym.alias("sym")
+    )
+    pick = lambda p, col: F.max(F.when(F.col("seg") == p, F.col(col)))  # noqa: E731
+    return z.groupBy("conv_id", "bucket_us").agg(
+        F.first("n").alias("n"),
+        *[pick(p, "paa").alias(f"paa{p + 1}") for p in range(P)],
+        F.concat(*[pick(p, "sym") for p in range(P)]).alias("sax_word"),
+    )
+
+
+def _q70_sql() -> str:
+    P = SAX_SEGMENTS
+    paa_cols = ",\n       ".join(
+        f"MAX(CASE WHEN seg = {p} THEN paa END) AS paa{p + 1}" for p in range(P)
+    )
+    syms = " || ".join(
+        f"MAX(CASE WHEN seg = {p} THEN sym END)" for p in range(P)
+    )
+    return f"""
+WITH c AS ({_C_SQL}), tagged AS (
+  SELECT user_id, ts_us, event_id, c,
+         ts_us - ts_us % {DAY_US} AS bucket_us
+  FROM c
+), ranked AS (
+  SELECT user_id, bucket_us, c,
+         row_number() OVER (PARTITION BY user_id, bucket_us
+                            ORDER BY ts_us, event_id) AS rk,
+         COUNT(*) OVER wb AS n,
+         SUM(c) OVER wb AS s1,
+         SUM(CAST(c AS HUGEINT) * c) OVER wb AS s2
+  FROM tagged
+  WINDOW wb AS (PARTITION BY user_id, bucket_us)
+), segged AS (
+  SELECT user_id, bucket_us, c, n, s1, s2,
+         CAST(floor(CAST((rk - 1) * {P} AS DOUBLE)
+                    / CAST(n AS DOUBLE)) AS BIGINT) AS seg
+  FROM ranked
+), segs AS (
+  SELECT user_id AS conv_id, bucket_us, seg,
+         COUNT(*) AS seg_n,
+         SUM(c) AS seg_sum,
+         MAX(n) AS n, MAX(s1) AS s1, MAX(s2) AS s2
+  FROM segged GROUP BY 1, 2, 3
+), z AS (
+  SELECT conv_id, bucket_us, seg, n,
+         (CAST(seg_sum AS DOUBLE) / CAST(seg_n AS DOUBLE)
+          - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt({split_dbl("CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1")}
+                / CAST(n * n AS DOUBLE)) AS paa
+  FROM segs
+  WHERE n >= {P}
+    AND CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 > 0
+), sy AS (
+  SELECT conv_id, bucket_us, seg, n, paa,
+         CASE WHEN paa < {SAX_B1!r} THEN 'a'
+              WHEN paa < 0.0 THEN 'b'
+              WHEN paa < {SAX_B3!r} THEN 'c'
+              ELSE 'd' END AS sym
+  FROM z
+)
+SELECT conv_id, bucket_us,
+       CAST(MIN(n) AS BIGINT) AS n,
+       {paa_cols},
+       {syms} AS sax_word
+FROM sy GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q64_temporal_moments_1d": q64_temporal_moments_1d,
     "q65_histogram_diversity_1h": q65_histogram_diversity_1h,
     "q66_ar2_yule_walker": q66_ar2_yule_walker,
     "q67_amplitude_factors_1h": q67_amplitude_factors_1h,
     "q68_burst_runs": q68_burst_runs,
+    "q69_dominant_acf_lag": q69_dominant_acf_lag,
+    "q70_paa_sax_1d": q70_paa_sax_1d,
 }
 
 ORACLE_SQL = {
@@ -444,4 +697,6 @@ ORACLE_SQL = {
     "q66_ar2_yule_walker": _Q66_SQL,
     "q67_amplitude_factors_1h": _Q67_SQL,
     "q68_burst_runs": _Q68_SQL,
+    "q69_dominant_acf_lag": _q69_sql(),
+    "q70_paa_sax_1d": _q70_sql(),
 }

@@ -198,8 +198,9 @@ def test_shape_query_plans(spark, sf_dir):
     from features_engineering_of_motion_data_spark.queries import shape
 
     single = (shape.q64_temporal_moments_1d, shape.q66_ar2_yule_walker,
-              shape.q67_amplitude_factors_1h)
-    multi = (shape.q65_histogram_diversity_1h, shape.q68_burst_runs)
+              shape.q67_amplitude_factors_1h, shape.q69_dominant_acf_lag)
+    multi = (shape.q65_histogram_diversity_1h, shape.q68_burst_runs,
+             shape.q70_paa_sax_1d)
     for q in single + multi:
         plan = _plan(q(spark, sf_dir))
         cap = 1 if q in single else 3
