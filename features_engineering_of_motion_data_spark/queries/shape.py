@@ -681,6 +681,113 @@ FROM sy GROUP BY 1, 2
 """
 
 
+# --- q71: ordinal pattern census per (conv, 1d bucket) -------------------------
+
+
+def q71_ordinal_patterns_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 ordinal (permutation) pattern census per (conv, 1d bucket) —
+    the Bandt–Pompe representation behind permutation entropy: each
+    in-bucket consecutive triple (a, b, c) is classified into one of the 6
+    rank patterns, and the bucket emits the 6 pattern counts plus the
+    pattern distribution's Gini impurity.  Permutation *entropy* itself is
+    deliberately not emitted (log2 is not bitwise-pinnable across
+    JVM/libm); the census plus Gini carries the same information
+    losslessly — exactly the q65 design rule.
+
+    Ties are broken by position (stable argsort — the Bandt–Pompe
+    convention): the earlier element ranks first on equality, so the three
+    booleans a≤b, b≤c, a≤c decide the pattern.  Of the 8 boolean combos,
+    two are logically impossible (≤ is transitive on the stable order);
+    they are asserted away by construction of the CASE.
+
+    Exactness: pattern ids are integer comparisons on exact cents; counts
+    are exact; Gini = (t² − Σcntᵢ²)/t² is ONE pinned division.
+
+    Scale shape: one shared lag window (two lags) + one hash agg on conv —
+    a single shuffle, no Python.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    b = lambda col: _bucket(col, DAY_US)  # noqa: E731
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("a", F.lag("c", 2).over(w))
+        .withColumn("bb", F.lag("c").over(w))
+        .withColumn("a_ts", F.lag("ts_us", 2).over(w))
+    )
+    # triple is in-bucket iff its oldest member shares the bucket (ts is
+    # non-decreasing within the window order, so the middle member does too)
+    in3 = F.col("a_ts").isNotNull() & (b(F.col("a_ts")) == b(F.col("ts_us")))
+    ab = F.col("a") <= F.col("bb")
+    bc = F.col("bb") <= F.col("c")
+    ac = F.col("a") <= F.col("c")
+    pid = (
+        F.when(ab & bc, 0)               # a ≤ b ≤ c
+        .when(ab & ~bc & ac, 1)          # a ≤ c < b
+        .when(ab & ~bc & ~ac, 2)         # c < a ≤ b
+        .when(~ab & bc & ac, 3)          # b < a ≤ c
+        .when(~ab & bc & ~ac, 4)         # b ≤ c < a
+        .otherwise(5)                    # c < b < a
+    )
+    aggs = [F.sum(F.when(in3, 1).otherwise(0)).alias("t")] + [
+        F.sum(F.when(in3 & (pid == p), 1).otherwise(0)).alias(f"p{p}")
+        for p in range(6)
+    ]
+    g = d.groupBy(
+        F.col("user_id").alias("conv_id"), b(F.col("ts_us")).alias("bucket_us")
+    ).agg(*aggs)
+    t = F.col("t")
+    sq = sum((F.col(f"p{p}") * F.col(f"p{p}") for p in range(6)), F.lit(0))
+    return g.filter(t >= 1).select(
+        "conv_id",
+        "bucket_us",
+        "t",
+        *[f"p{p}" for p in range(6)],
+        ((t * t - sq).cast("double") / (t * t).cast("double")).alias(
+            "pattern_gini"
+        ),
+    )
+
+
+def _q71_sql() -> str:
+    pid_case = """CASE
+           WHEN a <= bb AND bb <= c THEN 0
+           WHEN a <= bb AND NOT bb <= c AND a <= c THEN 1
+           WHEN a <= bb AND NOT bb <= c AND NOT a <= c THEN 2
+           WHEN NOT a <= bb AND bb <= c AND a <= c THEN 3
+           WHEN NOT a <= bb AND bb <= c AND NOT a <= c THEN 4
+           ELSE 5 END"""
+    counts = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN in3 AND pid = {p} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS p{p}"
+        for p in range(6)
+    )
+    sq = " + ".join(f"p{p} * p{p}" for p in range(6))
+    return f"""
+WITH c AS ({_C_SQL}), lagged AS (
+  SELECT user_id, ts_us, c,
+         lag(c, 2) OVER w AS a,
+         lag(c) OVER w AS bb,
+         lag(ts_us, 2) OVER w AS a_ts
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), tagged AS (
+  SELECT user_id,
+         ts_us - ts_us % {DAY_US} AS bucket_us,
+         (a_ts IS NOT NULL
+          AND a_ts - a_ts % {DAY_US} = ts_us - ts_us % {DAY_US}) AS in3,
+         {pid_case} AS pid
+  FROM lagged
+), g AS (
+  SELECT user_id AS conv_id, bucket_us,
+         CAST(SUM(CASE WHEN in3 THEN 1 ELSE 0 END) AS BIGINT) AS t,
+         {counts}
+  FROM tagged GROUP BY 1, 2
+)
+SELECT conv_id, bucket_us, t, p0, p1, p2, p3, p4, p5,
+       CAST(t * t - ({sq}) AS DOUBLE) / CAST(t * t AS DOUBLE) AS pattern_gini
+FROM g WHERE t >= 1
+"""
+
+
 QUERIES = {
     "q64_temporal_moments_1d": q64_temporal_moments_1d,
     "q65_histogram_diversity_1h": q65_histogram_diversity_1h,
@@ -689,6 +796,7 @@ QUERIES = {
     "q68_burst_runs": q68_burst_runs,
     "q69_dominant_acf_lag": q69_dominant_acf_lag,
     "q70_paa_sax_1d": q70_paa_sax_1d,
+    "q71_ordinal_patterns_1d": q71_ordinal_patterns_1d,
 }
 
 ORACLE_SQL = {
@@ -699,4 +807,5 @@ ORACLE_SQL = {
     "q68_burst_runs": _Q68_SQL,
     "q69_dominant_acf_lag": _q69_sql(),
     "q70_paa_sax_1d": _q70_sql(),
+    "q71_ordinal_patterns_1d": _q71_sql(),
 }

@@ -198,7 +198,8 @@ def test_shape_query_plans(spark, sf_dir):
     from features_engineering_of_motion_data_spark.queries import shape
 
     single = (shape.q64_temporal_moments_1d, shape.q66_ar2_yule_walker,
-              shape.q67_amplitude_factors_1h, shape.q69_dominant_acf_lag)
+              shape.q67_amplitude_factors_1h, shape.q69_dominant_acf_lag,
+              shape.q71_ordinal_patterns_1d)
     multi = (shape.q65_histogram_diversity_1h, shape.q68_burst_runs,
              shape.q70_paa_sax_1d)
     for q in single + multi:
