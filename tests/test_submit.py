@@ -91,3 +91,55 @@ def test_spark_submit_py_files_matches_in_process(tmp_path, tiny_path):
     a, b = _read_tiers(expected_out), _read_tiers(submit_out)
     for t in TIERS:
         pd.testing.assert_frame_equal(a[t], b[t], check_exact=True)
+
+
+@pytest.mark.skipif(
+    shutil.which("spark-submit") is None, reason="spark-submit not on PATH"
+)
+def test_spark_submit_features_matrix_matches_in_process(tmp_path, tiny_path):
+    """The feature-matrix job is deployable the same way: spark-submit
+    --py-files with the script staged outside the repo, output bit-identical
+    to an in-process run."""
+    from jobs.features import parse_args, run
+
+    expected_out = str(tmp_path / "expected_matrix")
+    args = ["--input", tiny_path, "--output", expected_out, "--tier", "1h",
+            "--master", "local[4]"]
+    assert run(parse_args(args)) == 0
+
+    zip_path = _build_zip(str(tmp_path))
+    job_path = str(tmp_path / "submitted_features.py")
+    shutil.copyfile(os.path.join(REPO, "jobs", "features.py"), job_path)
+    submit_out = str(tmp_path / "submitted_matrix")
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.memory=2g",
+            "--py-files", zip_path,
+            job_path,
+            "--input", tiny_path,
+            "--output", submit_out,
+            "--tier", "1h",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    def _read(root):
+        df = pd.read_parquet(os.path.join(root, "tier=1h"))
+        return df.sort_values(
+            ["conv_id", "bucket_start"], kind="mergesort"
+        ).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        _read(expected_out), _read(submit_out), check_exact=True
+    )
