@@ -106,6 +106,19 @@ def main() -> None:
         stats_1m.unpersist()
         stats_1h.unpersist()
 
+        # the model-facing product surface: wide {channel}__{feature} matrix,
+        # single-exchange conditional aggregation (operators/matrix.py)
+        from features_engineering_of_motion_data_spark.operators.matrix import (
+            wide_tier_matrix,
+        )
+
+        t0 = time.perf_counter()
+        points["feature_matrix_1m"] = _force(wide_tier_matrix(channels, "1m"))
+        timings["feature_matrix_1m"] = min(
+            timings.get("feature_matrix_1m", float("inf")),
+            time.perf_counter() - t0,
+        )
+
     # --- headline at 4x: full staged cascade on the 8.3M-turn corpus ---------
     # The 2M-turn corpus is overhead-bound at 32 cores (~30 ms tasks); the
     # 4x corpus amortizes per-task fixed cost and is the faithful proxy for

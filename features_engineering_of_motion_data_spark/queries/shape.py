@@ -788,6 +788,140 @@ FROM g WHERE t >= 1
 """
 
 
+# --- q72: sample-entropy template counts per (conv, 1d bucket) -----------------
+
+SAMPEN_R_CENTS = 2000  # Chebyshev tolerance r = 20.00 value units
+SAMPEN_M = 2  # template length m (A counts use m+1) — fixed by construction
+
+
+def q72_sample_entropy_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-entropy template-match counts (Richman & Moorman 2000) per
+    (conv, 1d bucket), m = 2: B = #{unordered template pairs within
+    Chebyshev distance r on their first 2 elements}, A = the subset also
+    matching on the 3rd — SampEn is −ln(A/B).  Emits A, B and the ratio
+    A/B; the log is left to the consumer (log-free rule, DESIGN.md §18).
+    Both counts range over the same template index set i ≤ N−m (the
+    standard convention), i.e. templates whose 3 elements all fall in the
+    bucket.
+
+    Exactness: A and B are exact integer counts over integer-cent
+    comparisons; the ratio is ONE pinned division.
+
+    Scale shape: SampEn is Θ(pairs-within-r) by definition; the engine
+    makes the pair generation output-bound instead of O(n²) with a BAND
+    self-join — templates are bucketed by ``floor(c/r)`` and each probe
+    template joins only its 3 adjacent value bands (a complete cover of
+    |Δc| ≤ r), then exact filters decide.  The banding is a Spark-side
+    physical optimization only: the DuckDB oracle runs the literal
+    quadratic self-join, and both count the identical pair set.  Keys are
+    (conv, bucket, band) — conv-prefixed, so hot buckets still bound the
+    join by band occupancy, and a duplicate-heavy band degrades to the
+    true pair count (which IS the output size), never beyond.
+    """
+    r = SAMPEN_R_CENTS
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    b = lambda col: _bucket(col, DAY_US)  # noqa: E731
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("bucket_us", b(F.col("ts_us")))
+        .withColumn("c1", F.lead("c").over(w))
+        .withColumn("c2", F.lead("c", 2).over(w))
+        .withColumn("t2", F.lead("ts_us", 2).over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("user_id", "bucket_us"))
+        )
+    )
+    # ts is non-decreasing in window order: t2 in-bucket ⇒ t1 in-bucket
+    tpl = (
+        d.filter(F.col("t2").isNotNull() & (b(F.col("t2")) == F.col("bucket_us")))
+        .withColumn(
+            "idx",
+            F.row_number().over(
+                Window.partitionBy("user_id", "bucket_us").orderBy(
+                    "ts_us", "event_id"
+                )
+            ),
+        )
+        .select(
+            F.col("user_id").alias("conv_id"),
+            "bucket_us",
+            "n",
+            "idx",
+            "c",
+            "c1",
+            "c2",
+            F.floor(F.col("c").cast("double") / F.lit(float(r))).alias("cb"),
+        )
+    )
+    probe = tpl.withColumn(
+        "cbp", F.explode(F.array(F.col("cb") - 1, F.col("cb"), F.col("cb") + 1))
+    )
+    a, bt = probe.alias("a"), tpl.alias("b")
+    pairs = a.join(
+        bt,
+        (F.col("a.conv_id") == F.col("b.conv_id"))
+        & (F.col("a.bucket_us") == F.col("b.bucket_us"))
+        & (F.col("a.cbp") == F.col("b.cb")),
+    ).filter(
+        (F.col("a.idx") < F.col("b.idx"))
+        & (F.abs(F.col("a.c") - F.col("b.c")) <= r)
+        & (F.abs(F.col("a.c1") - F.col("b.c1")) <= r)
+    )
+    g = pairs.groupBy(
+        F.col("a.conv_id").alias("conv_id"),
+        F.col("a.bucket_us").alias("bucket_us"),
+    ).agg(
+        F.first(F.col("a.n")).alias("n"),
+        F.count(F.lit(1)).alias("b_pairs"),
+        F.sum(
+            (F.abs(F.col("a.c2") - F.col("b.c2")) <= r).cast("long")
+        ).alias("a_pairs"),
+    )
+    return g.select(
+        "conv_id",
+        "bucket_us",
+        "n",
+        "b_pairs",
+        "a_pairs",
+        (
+            F.col("a_pairs").cast("double") / F.col("b_pairs").cast("double")
+        ).alias("sampen_ratio"),
+    )
+
+
+_Q72_SQL = f"""
+WITH c AS ({_C_SQL}), lagged AS (
+  SELECT user_id, ts_us, event_id, c,
+         ts_us - ts_us % {DAY_US} AS bucket_us,
+         lead(c) OVER w AS c1,
+         lead(c, 2) OVER w AS c2,
+         lead(ts_us, 2) OVER w AS t2,
+         COUNT(*) OVER (PARTITION BY user_id, ts_us - ts_us % {DAY_US}) AS n
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), tpl AS (
+  SELECT user_id AS conv_id, bucket_us, n, c, c1, c2,
+         row_number() OVER (PARTITION BY user_id, bucket_us
+                            ORDER BY ts_us, event_id) AS idx
+  FROM lagged
+  WHERE t2 IS NOT NULL AND t2 - t2 % {DAY_US} = bucket_us
+), pairs AS (
+  SELECT a.conv_id, a.bucket_us, a.n,
+         CASE WHEN abs(a.c2 - b.c2) <= {SAMPEN_R_CENTS} THEN 1 ELSE 0 END AS am
+  FROM tpl a JOIN tpl b
+    ON a.conv_id = b.conv_id AND a.bucket_us = b.bucket_us
+   AND a.idx < b.idx
+   AND abs(a.c - b.c) <= {SAMPEN_R_CENTS}
+   AND abs(a.c1 - b.c1) <= {SAMPEN_R_CENTS}
+)
+SELECT conv_id, bucket_us,
+       CAST(MIN(n) AS BIGINT) AS n,
+       COUNT(*) AS b_pairs,
+       CAST(SUM(am) AS BIGINT) AS a_pairs,
+       CAST(SUM(am) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS sampen_ratio
+FROM pairs GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q64_temporal_moments_1d": q64_temporal_moments_1d,
     "q65_histogram_diversity_1h": q65_histogram_diversity_1h,
@@ -797,6 +931,7 @@ QUERIES = {
     "q69_dominant_acf_lag": q69_dominant_acf_lag,
     "q70_paa_sax_1d": q70_paa_sax_1d,
     "q71_ordinal_patterns_1d": q71_ordinal_patterns_1d,
+    "q72_sample_entropy_1d": q72_sample_entropy_1d,
 }
 
 ORACLE_SQL = {
@@ -808,4 +943,5 @@ ORACLE_SQL = {
     "q69_dominant_acf_lag": _q69_sql(),
     "q70_paa_sax_1d": _q70_sql(),
     "q71_ordinal_patterns_1d": _q71_sql(),
+    "q72_sample_entropy_1d": _Q72_SQL,
 }
