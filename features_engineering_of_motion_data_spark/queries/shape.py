@@ -922,6 +922,94 @@ FROM pairs GROUP BY 1, 2
 """
 
 
+# --- q73: mean-crossing rate per (conv, 1h bucket) -----------------------------
+
+
+def q73_mean_crossing_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-crossing rate per (conv, 1h bucket) — A5's zero-crossing count
+    re-centered on the bucket's own mean (the HAR canon's MCR, robust to a
+    channel's DC offset): #{in-bucket consecutive pairs whose values sit on
+    opposite sides of the bucket mean} / (n − 1).
+
+    Exactness trick: a value's side of the mean is ``sign(c·n − s1)`` — an
+    exact integer (the mean itself, s1/n, never needs to exist as a
+    double), with sign(0) = +1 matching A5's convention.  Both pair
+    members use the SAME bucket's (n, s1) since the pair is in-bucket by
+    construction.  The only double is the rate — ONE pinned division.
+
+    Scale shape: the conv-ordered lag window and the (conv, bucket) sum
+    window both cluster under hash(conv) (subset rule), so the whole query
+    is a single exchange + one hash agg, no Python.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    b = lambda col: _bucket(col, HOUR_US)  # noqa: E731
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("bucket_us", b(F.col("ts_us")))
+        .withColumn("prev_c", F.lag("c").over(w))
+        .withColumn("prev_ts", F.lag("ts_us").over(w))
+    )
+    wb = Window.partitionBy("user_id", "bucket_us")
+    d = d.withColumn("bn", F.count(F.lit(1)).over(wb)).withColumn(
+        "bs1", F.sum("c").over(wb)
+    )
+    dev = _dec(F.col("c")) * _dec(F.col("bn")) - _dec(F.col("bs1"))
+    dev_prev = _dec(F.col("prev_c")) * _dec(F.col("bn")) - _dec(F.col("bs1"))
+    sgn = lambda col: F.when(col < 0, F.lit(-1)).otherwise(F.lit(1))  # noqa: E731
+    in_pair = F.col("prev_ts").isNotNull() & (b(F.col("prev_ts")) == F.col("bucket_us"))
+    cross = in_pair & (sgn(dev) * sgn(dev_prev) < 0)
+    g = d.groupBy(
+        F.col("user_id").alias("conv_id"), F.col("bucket_us")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cross.cast("long")).alias("mc"),
+    )
+    return g.filter(F.col("n") >= 2).select(
+        "conv_id",
+        "bucket_us",
+        "n",
+        "mc",
+        (
+            F.col("mc").cast("double") / (F.col("n") - 1).cast("double")
+        ).alias("mcr"),
+    )
+
+
+_Q73_SQL = f"""
+WITH c AS ({_C_SQL}), lagged AS (
+  SELECT user_id, ts_us, c,
+         ts_us - ts_us % {HOUR_US} AS bucket_us,
+         lag(c) OVER w AS prev_c,
+         lag(ts_us) OVER w AS prev_ts
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), dev AS (
+  SELECT user_id, bucket_us, prev_c, prev_ts,
+         COUNT(*) OVER wb AS bn,
+         SUM(c) OVER wb AS bs1,
+         c
+  FROM lagged
+  WINDOW wb AS (PARTITION BY user_id, bucket_us)
+), tagged AS (
+  SELECT user_id, bucket_us,
+         (prev_ts IS NOT NULL
+          AND prev_ts - prev_ts % {HOUR_US} = bucket_us
+          AND (CASE WHEN CAST(c AS HUGEINT) * bn - bs1 < 0
+                    THEN -1 ELSE 1 END)
+            * (CASE WHEN CAST(prev_c AS HUGEINT) * bn - bs1 < 0
+                    THEN -1 ELSE 1 END) < 0) AS cross_hit
+  FROM dev
+)
+SELECT user_id AS conv_id, bucket_us,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN cross_hit THEN 1 ELSE 0 END) AS BIGINT) AS mc,
+       CAST(SUM(CASE WHEN cross_hit THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) - 1 AS DOUBLE) AS mcr
+FROM tagged
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES = {
     "q64_temporal_moments_1d": q64_temporal_moments_1d,
     "q65_histogram_diversity_1h": q65_histogram_diversity_1h,
@@ -932,6 +1020,7 @@ QUERIES = {
     "q70_paa_sax_1d": q70_paa_sax_1d,
     "q71_ordinal_patterns_1d": q71_ordinal_patterns_1d,
     "q72_sample_entropy_1d": q72_sample_entropy_1d,
+    "q73_mean_crossing_rate_1h": q73_mean_crossing_rate_1h,
 }
 
 ORACLE_SQL = {
@@ -944,4 +1033,5 @@ ORACLE_SQL = {
     "q70_paa_sax_1d": _q70_sql(),
     "q71_ordinal_patterns_1d": _q71_sql(),
     "q72_sample_entropy_1d": _Q72_SQL,
+    "q73_mean_crossing_rate_1h": _Q73_SQL,
 }

@@ -199,7 +199,7 @@ def test_shape_query_plans(spark, sf_dir):
 
     single = (shape.q64_temporal_moments_1d, shape.q66_ar2_yule_walker,
               shape.q67_amplitude_factors_1h, shape.q69_dominant_acf_lag,
-              shape.q71_ordinal_patterns_1d)
+              shape.q71_ordinal_patterns_1d, shape.q73_mean_crossing_rate_1h)
     multi = (shape.q65_histogram_diversity_1h, shape.q68_burst_runs,
              shape.q70_paa_sax_1d)
     # q72's band self-join legitimately shuffles both template sides on the
