@@ -473,3 +473,77 @@ def sample_frames(meta: DataFrame, every_k: int = 2) -> DataFrame:
         )
         .select("doc_id", "frame_idx", "width", "height")
     )
+
+
+AUDIO_CHANNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("channel", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("prev_x", T.LongType()),
+        T.StructField("prev_ts_us", T.LongType()),
+    ]
+)
+
+
+def audio_channel_frame(media: DataFrame) -> DataFrame:
+    """Decoded PCM as the ENGINE'S OWN channel frame — the multimodal column
+    flowing into the same tier feature algebra as transcripts.
+
+    Each mono WAV payload explodes to one row per sample with the adjacency
+    columns :func:`~.features.aggregate_tier` needs: ``conv_id =
+    'doc:<id>'``, ``channel = 'audio_amp'``, ``turn_idx = i``, ``ts_us =
+    i·10⁶ // rate`` (integer floor — strictly increasing for rate ≤ 1 MHz),
+    ``x`` the integer amplitude (exact: PCM values are integers, 8-bit
+    recentred by an exact −128).  The output feeds ``features_from_turns`` /
+    the rollup cascade unchanged, so A1–A8 (and the tier merge algebra) are
+    computed over audio with the IDENTICAL contract and the numpy oracle
+    gates it bitwise (tests/test_multimodal.py).
+
+    Stereo/multi-channel payloads are skipped — interleaved samples are
+    distinct series and silently concatenating them would corrupt adjacency
+    features (zc, lag); invalid/compressed containers are skipped as in
+    :func:`decode_audio`.
+
+    Scale shape: mapInPandas, no shuffle — partition-parallel over the
+    payload table; downstream tier aggregation adds its usual single
+    exchange.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                parsed = decode_wav_bytes(r.payload)
+                if parsed is None:
+                    continue
+                (rate, ch, _bits, _n_frames), x = parsed
+                if ch != 1:
+                    continue
+                xi = x.astype(np.int64)
+                i = np.arange(len(xi), dtype=np.int64)
+                ts = i * 1_000_000 // rate
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": f"doc:{int(r.doc_id)}",
+                            "channel": "audio_amp",
+                            "turn_idx": i.astype(np.int32),
+                            "ts_us": ts,
+                            "x": xi,
+                            "prev_x": pd.Series(xi).shift(1).astype("Int64"),
+                            "prev_ts_us": pd.Series(ts).shift(1).astype("Int64"),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {f.name: [] for f in AUDIO_CHANNEL_SCHEMA.fields}
+                )
+            )
+
+    return media.mapInPandas(gen, AUDIO_CHANNEL_SCHEMA)

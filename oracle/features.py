@@ -108,7 +108,7 @@ def _finalize(n: int, s1: int, s2: int, mn: int, mx: int, zc: int, u: float) -> 
     }
 
 
-UNIT = {"text_len": 1.0, "inter_turn_latency": 1e6, "tool_cadence": 1.0}
+UNIT = {"text_len": 1.0, "inter_turn_latency": 1e6, "tool_cadence": 1.0}  # .get default 1.0 = the engine's unit_divisor otherwise-branch
 
 
 def tier_features(channels: pd.DataFrame, tier: str) -> pd.DataFrame:
@@ -163,7 +163,7 @@ def tier_features(channels: pd.DataFrame, tier: str) -> pd.DataFrame:
             "last_val": int(x[last_i]),
         }
         rec.update(
-            _finalize(n, s1, s2, rec["min_raw"], rec["max_raw"], rec["zc"], UNIT[ch])
+            _finalize(n, s1, s2, rec["min_raw"], rec["max_raw"], rec["zc"], UNIT.get(ch, 1.0))
         )
         rows.append(rec)
     out = pd.DataFrame(rows)

@@ -329,3 +329,87 @@ def test_bmp_rejects_invalid_and_compressed(spark):
     )
     got = decode_image(spark.createDataFrame(pdf), backend="bmp").toPandas()
     assert got["doc_id"].tolist() == [4]
+
+
+def test_audio_feeds_tier_feature_algebra_bitwise(spark):
+    """The multimodal bridge: decoded WAV PCM flows through the ENGINE'S OWN
+    tier feature pipeline (audio_channel_frame -> features_from_turns) and
+    every finalized feature matches the independent numpy oracle bitwise —
+    the same gate the transcript channels pass.  Stereo and invalid
+    payloads are skipped, never crash."""
+    import numpy as np
+    import pandas as pd
+
+    import oracle.features as orc
+    from features_engineering_of_motion_data_spark.operators.features import (
+        features_from_turns,
+    )
+    from features_engineering_of_motion_data_spark.operators.multimodal import (
+        audio_channel_frame,
+        decode_wav_bytes,
+        make_wav_payload,
+    )
+
+    payloads = {
+        # low sample rates stretch the series across multiple 1m buckets
+        # (ts_us = i*1e6//rate), so the tier bucketing is actually exercised
+        1: make_wav_payload(1, n_frames=900, sample_rate=8, bits=16),
+        2: make_wav_payload(2, n_frames=300, sample_rate=4, bits=8),
+        3: make_wav_payload(3, n_frames=120, sample_rate=2, bits=32),
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "payload": [
+                payloads[1],
+                payloads[2],
+                payloads[3],
+                make_wav_payload(4, n_frames=64, channels=2),  # stereo: skipped
+                b"not audio at all",  # invalid: skipped
+            ],
+        }
+    )
+    media = spark.createDataFrame(pdf)
+    got = (
+        features_from_turns(audio_channel_frame(media), "1m")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert set(got["conv_id"]) == {"doc:1", "doc:2", "doc:3"}
+
+    # oracle path: rebuild the channel frame from the SAME public decode,
+    # then the independent numpy tier oracle
+    frames = []
+    for doc_id, payload in payloads.items():
+        (rate, ch, _bits, _nf), x = decode_wav_bytes(payload)
+        assert ch == 1
+        i = np.arange(len(x), dtype=np.int64)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": f"doc:{doc_id}",
+                    "channel": "audio_amp",
+                    "turn_idx": i,
+                    "ts_us": i * 1_000_000 // rate,
+                    "x": x.astype(np.int64),
+                }
+            )
+        )
+    want = orc.tier_features(pd.concat(frames, ignore_index=True), "1m")
+    want = want.sort_values(["conv_id", "bucket_us"], kind="mergesort").reset_index(
+        drop=True
+    )
+    assert len(got) == len(want) > 3
+    got["bucket_us"] = got["bucket_start"].astype("datetime64[us]").astype("int64")
+    assert (got["bucket_us"].to_numpy() == want["bucket_us"].to_numpy()).all()
+    for c in ("n", "s1", "min_raw", "max_raw", "zc"):
+        assert (
+            got[c].to_numpy().astype(np.int64)
+            == want[c].to_numpy().astype(np.int64)
+        ).all(), c
+    assert [int(v) for v in got["s2"]] == [int(v) for v in want["s2"]]
+    for c in ("f_mean", "f_std", "f_rms", "f_min", "f_max", "f_energy"):
+        a = got[c].to_numpy().astype(np.float64)
+        b = want[c].to_numpy().astype(np.float64)
+        assert (a == b).all(), c  # bitwise
