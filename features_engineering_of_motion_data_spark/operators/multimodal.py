@@ -2,16 +2,17 @@
 metadata, processed through Arrow-batched ``mapInPandas`` (the
 training-data-pipeline surface).
 
-Codec status: **uncompressed WAV (RIFF/PCM) audio decode and uncompressed
-BMP (BITMAPINFOHEADER, 8/24/32-bpp) image decode are REAL** — pure-numpy
-parsers of public container specs, no dependencies
-(``decode_audio(backend='wav')``, ``decode_image(backend='bmp')``).
-Compressed formats need external codecs this container doesn't ship:
-``decode_image(backend='pil')`` raises ``NotImplementedError`` unless
-Pillow imports, and the deterministic ``FAKE`` container format (fully
-specified below) keeps the Spark-side plumbing — schema, partition
-behaviour, UDF signatures, batch shapes — real and tested for video, the
-one media type with no dependency-free public container.
+Codec status: **all three media types have REAL dependency-free codecs** —
+pure-numpy parsers of public container specs: uncompressed WAV (RIFF/PCM)
+audio (``decode_audio(backend='wav')``), uncompressed BMP
+(BITMAPINFOHEADER, 8/24/32-bpp) images (``decode_image(backend='bmp')``),
+and uncompressed AVI (RIFF 'AVI ', DIB '00db' frames) video
+(``decode_video(backend='avi')``). Compressed formats need external codecs
+this container doesn't ship: ``decode_image(backend='pil')`` raises
+``NotImplementedError`` unless Pillow imports, compressed AVI streams
+(``00dc`` / nonzero biCompression) are rejected per-row, and the
+deterministic ``FAKE`` container format (fully specified below) remains as
+the plumbing-level fixture format for schema/partition/UDF-shape tests.
 
 FAKE container layout (little-endian):
     bytes 0-3   magic  b"FAKE"
@@ -530,6 +531,288 @@ def audio_channel_frame(media: DataFrame) -> DataFrame:
                         {
                             "conv_id": f"doc:{int(r.doc_id)}",
                             "channel": "audio_amp",
+                            "turn_idx": i.astype(np.int32),
+                            "ts_us": ts,
+                            "x": xi,
+                            "prev_x": pd.Series(xi).shift(1).astype("Int64"),
+                            "prev_ts_us": pd.Series(ts).shift(1).astype("Int64"),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {f.name: [] for f in AUDIO_CHANNEL_SCHEMA.fields}
+                )
+            )
+
+    return media.mapInPandas(gen, AUDIO_CHANNEL_SCHEMA)
+
+
+# --- real video codec: uncompressed AVI (RIFF 'AVI ', DIB frames), numpy -----
+
+AVI_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bpp", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("std_intensity", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def make_avi_payload(
+    doc_id: int,
+    n_frames: int = 8,
+    width: int = 16,
+    height: int = 12,
+    bpp: int = 24,
+    rate: int = 10,
+    scale: int = 1,
+) -> bytes:
+    """A real, canonical AVI file (RIFF 'AVI ', single 'vids' stream with
+    the 'DIB ' handler = uncompressed device-independent bitmap frames) with
+    deterministic pixel content derived from ``doc_id``.
+
+    Container layout is the public AVI RIFF spec: ``RIFF('AVI ')`` holding
+    ``LIST('hdrl')`` = ``avih`` MainAVIHeader + ``LIST('strl')`` =
+    ``strh`` AVIStreamHeader + ``strf`` BITMAPINFOHEADER, then
+    ``LIST('movi')`` with one ``00db`` chunk per frame (bottom-up rows
+    padded to 4 bytes — the same DIB row layout BMP uses). The optional
+    ``idx1`` index is omitted (it is a seek aid, not part of frame data).
+    """
+    import hashlib
+
+    if bpp not in (8, 24, 32):
+        raise ValueError(bpp)
+    seed = int.from_bytes(hashlib.md5(f"avi:{doc_id}".encode()).digest()[:8], "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    bytes_pp = bpp // 8
+    row_raw = width * bytes_pp
+    row_padded = (row_raw + 3) & ~3
+    frame_size = row_padded * height
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    us_per_frame = 1_000_000 * scale // rate
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, frame_size * rate // max(scale, 1), 0, 0x10,  # AVIF_HASINDEX off; 0x10=WASCAPTUREFILE (benign)
+        n_frames, 0, 1, frame_size, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0, scale, rate, 0, n_frames, frame_size, 0, 0,
+            0, 0, width, height,
+        )
+    )
+    palette = b"".join(bytes([i, i, i, 0]) for i in range(256)) if bpp == 8 else b""
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, frame_size, 0, 0,
+        256 if bpp == 8 else 0, 0,
+    ) + palette
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    frames = []
+    for _ in range(n_frames):
+        rows = []
+        for _ in range(height):
+            row = rng.integers(0, 256, size=row_raw, dtype=np.uint8).tobytes()
+            rows.append(row + b"\x00" * (row_padded - row_raw))
+        frames.append(chunk(b"00db", b"".join(rows)))
+    movi = lst(b"movi", b"".join(frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type_or_None, body_start, body_size) walking a
+    RIFF chunk sequence with word alignment."""
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = pos + 8
+        if body + size > end:
+            return  # truncated chunk: stop cleanly
+        if cid == b"LIST" and size >= 4:
+            yield cid, buf[body : body + 4], body + 4, size - 4
+        else:
+            yield cid, None, body, size
+        pos = body + size + (size & 1)
+
+
+def decode_avi_bytes(payload: bytes):
+    """Pure-numpy parse of one uncompressed AVI payload →
+    ``((width, height, bpp, rate, scale, n_frames), frames)`` where
+    ``frames`` is a list of uint8 arrays — shape ``(h, w)`` for 8-bpp,
+    ``(h, w, 3)`` B,G,R for 24/32-bpp (alpha dropped) — or ``None`` for
+    invalid/compressed/non-video payloads.
+
+    Spec (public AVI RIFF): see :func:`make_avi_payload`. Only
+    ``BI_RGB`` (biCompression=0) DIB frames are in scope; a ``00dc``
+    (compressed-frame) chunk or a nonzero biCompression rejects the object.
+    A ``00db`` chunk whose size differs from the header's frame geometry is
+    skipped (graceful per-frame handling), as are unknown chunks (JUNK,
+    idx1, odd-sized vendor chunks) via word-aligned walking.
+    """
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    fmt = None  # (width, height, bpp)
+    timing = None  # (rate, scale)
+    frames = []
+    compressed = False
+
+    def walk(pos, end, depth=0):
+        nonlocal fmt, timing, compressed
+        for cid, ltype, body, size in _riff_chunks(payload, pos, end):
+            if cid == b"LIST":
+                walk(body, body + size, depth + 1)
+            elif cid == b"strh" and size >= 56:
+                fcc_type = payload[body : body + 4]
+                if fcc_type == b"vids":
+                    s_scale, s_rate = struct.unpack(
+                        "<II", payload[body + 20 : body + 28]
+                    )
+                    timing = (s_rate, s_scale)
+            elif cid == b"strf" and size >= 40 and fmt is None:
+                hdr_size, w, h = struct.unpack("<Iii", payload[body : body + 12])
+                planes, bpp = struct.unpack("<HH", payload[body + 12 : body + 16])
+                (compression,) = struct.unpack("<I", payload[body + 16 : body + 20])
+                if hdr_size >= 40 and planes == 1 and w > 0 and h != 0:
+                    if compression != 0 or bpp not in (8, 24, 32):
+                        compressed = True
+                    else:
+                        fmt = (w, abs(h), bpp)
+            elif cid[2:4] == b"dc":
+                compressed = True
+            elif cid[2:4] == b"db":
+                frames.append((body, size))
+
+    walk(12, len(payload))
+    if compressed or fmt is None or timing is None:
+        return None
+    w, h, bpp = fmt
+    rate, scale = timing
+    if rate <= 0 or scale <= 0:
+        return None
+    bytes_pp = bpp // 8
+    row_raw = w * bytes_pp
+    row_padded = (row_raw + 3) & ~3
+    out = []
+    for body, size in frames:
+        if size != row_padded * h:
+            continue  # geometry mismatch: skip the frame, keep the object
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_padded * h, offset=body
+        ).reshape(h, row_padded)[:, :row_raw]
+        if bpp == 8:
+            out.append(rows.copy())
+        else:
+            out.append(rows.reshape(h, w, bytes_pp)[:, :, :3].copy())
+    if not out:
+        return None
+    return (w, h, bpp, rate, scale, len(out)), out
+
+
+def decode_video(media: DataFrame, backend: str = "avi") -> DataFrame:
+    """Decode video payloads + per-object intensity stats.
+
+    ``backend='avi'`` is the REAL codec: uncompressed RIFF/AVI with DIB
+    frames parsed with pure numpy inside Arrow-batched ``mapInPandas`` —
+    the same dependency-free-public-container approach as
+    ``decode_audio('wav')`` / ``decode_image('bmp')``. Intensity follows
+    the BMP convention (8-bpp: raw index; 24/32-bpp: per-pixel mean of
+    B,G,R, alpha excluded); invalid/compressed containers are skipped
+    per-row, never kill the job.
+
+    Scale shape: mapInPandas streams Arrow batches — no shuffle; per-batch
+    memory is bounded by arrow batch size × payload size.
+    """
+    if backend != "avi":
+        raise NotImplementedError(
+            f"video backend {backend!r} not available; 'avi' (RIFF/DIB) is "
+            "the built-in dependency-free codec"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                parsed = decode_avi_bytes(r.payload)
+                if parsed is None:
+                    continue
+                (w, h, bpp, rate, scale, n_frames), frames = parsed
+                if bpp == 8:
+                    x = np.concatenate([f.astype(np.float64).ravel() for f in frames])
+                else:
+                    x = np.concatenate(
+                        [f.astype(np.float64).mean(axis=2).ravel() for f in frames]
+                    )
+                rows.append(
+                    (
+                        int(r.doc_id), w, h, bpp, n_frames,
+                        float(rate / scale),
+                        float(n_frames * scale / rate),
+                        float(np.mean(x)), float(np.std(x)), len(x),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AVI_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(gen, AVI_STATS_SCHEMA)
+
+
+def video_channel_frame(media: DataFrame) -> DataFrame:
+    """Decoded AVI frames as the ENGINE'S OWN channel frame — the video
+    column flowing into the same tier feature algebra as transcripts and
+    audio (:func:`audio_channel_frame`).
+
+    One row per frame: ``conv_id = 'doc:<id>'``, ``channel = 'video_luma'``,
+    ``turn_idx = frame_idx``, ``ts_us = frame_idx · 10⁶ · scale // rate``
+    (integer floor — strictly increasing for fps ≤ 1e6), ``x`` the frame's
+    EXACT integer luma mass: the sum of every pixel-channel byte (padding
+    and 32-bpp alpha excluded). Integer x keeps the downstream
+    sufficient-stats algebra exact, so ``features_from_turns`` output is
+    bit-identical to the independent numpy oracle — the identical contract
+    the transcript and audio channels pass.
+
+    Scale shape: mapInPandas, no shuffle; tier aggregation downstream adds
+    its usual single exchange.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                parsed = decode_avi_bytes(r.payload)
+                if parsed is None:
+                    continue
+                (_w, _h, _bpp, rate, scale, n_frames), frames = parsed
+                xi = np.array(
+                    [int(f.astype(np.int64).sum()) for f in frames],
+                    dtype=np.int64,
+                )
+                i = np.arange(n_frames, dtype=np.int64)
+                ts = i * 1_000_000 * scale // rate
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": f"doc:{int(r.doc_id)}",
+                            "channel": "video_luma",
                             "turn_idx": i.astype(np.int32),
                             "ts_us": ts,
                             "x": xi,

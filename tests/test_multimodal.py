@@ -413,3 +413,215 @@ def test_audio_feeds_tier_feature_algebra_bitwise(spark):
         a = got[c].to_numpy().astype(np.float64)
         b = want[c].to_numpy().astype(np.float64)
         assert (a == b).all(), c  # bitwise
+
+
+# --- real AVI codec -------------------------------------------------------------
+
+
+def _avi_reference_frames(doc_id, n_frames, width, height, bpp):
+    """Independent regeneration of make_avi_payload's deterministic pixel
+    stream (same public seed derivation, stats recomputed from scratch)."""
+    import hashlib
+
+    seed = int.from_bytes(hashlib.md5(f"avi:{doc_id}".encode()).digest()[:8], "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    bytes_pp = bpp // 8
+    row_raw = width * bytes_pp
+    frames = []
+    for _ in range(n_frames):
+        rows = [rng.integers(0, 256, size=row_raw, dtype=np.uint8) for _ in range(height)]
+        a = np.stack(rows)
+        frames.append(a if bpp == 8 else a.reshape(height, width, bytes_pp))
+    return frames
+
+
+def test_avi_roundtrip_matches_numpy_reference(spark):
+    import pandas as pd
+
+    from features_engineering_of_motion_data_spark.operators.multimodal import (
+        decode_video,
+        make_avi_payload,
+    )
+
+    cases = [  # (doc_id, n_frames, width, height, bpp, rate, scale)
+        (1, 8, 16, 12, 24, 10, 1),
+        (2, 5, 10, 6, 8, 30, 1),
+        (3, 3, 7, 9, 32, 24000, 1001),  # NTSC-style rational fps, odd width
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [c[0] for c in cases],
+            "payload": [make_avi_payload(*c) for c in cases],
+        }
+    )
+    got = (
+        decode_video(spark.createDataFrame(pdf), backend="avi")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(got) == len(cases)
+    for doc_id, n_frames, w, h, bpp, rate, scale in cases:
+        row = got.loc[doc_id]
+        assert (row["width"], row["height"], row["bpp"]) == (w, h, bpp)
+        assert row["n_frames"] == n_frames
+        assert row["fps"] == rate / scale
+        assert row["duration_s"] == n_frames * scale / rate
+        frames = _avi_reference_frames(doc_id, n_frames, w, h, bpp)
+        if bpp == 8:
+            x = np.concatenate([f.astype(np.float64).ravel() for f in frames])
+        else:
+            x = np.concatenate(
+                [f[:, :, :3].astype(np.float64).mean(axis=2).ravel() for f in frames]
+            )
+        assert row["n_samples"] == len(x)
+        assert row["mean_intensity"] == float(np.mean(x))  # bitwise
+        assert row["std_intensity"] == float(np.std(x))
+
+
+def test_avi_rejects_invalid_and_compressed(spark):
+    import struct as _struct
+
+    import pandas as pd
+
+    from features_engineering_of_motion_data_spark.operators.multimodal import (
+        decode_avi_bytes,
+        decode_video,
+        make_avi_payload,
+    )
+
+    good = make_avi_payload(9, n_frames=4)
+    # nonzero biCompression inside strf -> rejected (BI_RGB only)
+    compressed = bytearray(good)
+    at = good.index(b"strf") + 8 + 16  # biCompression offset in BITMAPINFOHEADER
+    compressed[at : at + 4] = _struct.pack("<I", 1)  # BI_RLE8
+    # a '00dc' (compressed-frame) chunk -> rejected
+    dc = bytearray(good)
+    at = dc.index(b"00db")
+    dc[at : at + 4] = b"00dc"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "payload": [b"RIFFxxxxNOPE", b"", bytes(compressed), bytes(dc), good],
+        }
+    )
+    got = decode_video(spark.createDataFrame(pdf)).toPandas()
+    assert got["doc_id"].tolist() == [5]
+    assert decode_avi_bytes(bytes(compressed)) is None
+    assert decode_avi_bytes(bytes(dc)) is None
+
+
+def test_avi_tolerates_junk_chunks_and_bad_frames(spark):
+    """Word-aligned walking skips odd-sized vendor chunks, and a 00db chunk
+    with mismatched geometry is dropped per-frame, not per-object."""
+    import struct as _struct
+
+    from features_engineering_of_motion_data_spark.operators.multimodal import (
+        decode_avi_bytes,
+        make_avi_payload,
+    )
+
+    base = make_avi_payload(11, n_frames=4, width=8, height=4, bpp=24)
+    junk = b"JUNK" + _struct.pack("<I", 3) + b"abc" + b"\x00"
+    payload = base[:12] + junk + base[12:]
+    payload = payload[:4] + _struct.pack("<I", len(payload) - 8) + payload[8:]
+    meta, frames = decode_avi_bytes(payload)
+    assert meta[5] == 4 and len(frames) == 4
+
+    # shrink one frame chunk body: that frame is skipped, others survive
+    bad = bytearray(base)
+    at = bad.index(b"00db")
+    (size,) = _struct.unpack("<I", bad[at + 4 : at + 8])
+    bad[at + 4 : at + 8] = _struct.pack("<I", size - 4)
+    # remove 4 bytes so the following chunks stay aligned, then shrink the
+    # enclosing movi LIST and RIFF sizes to match
+    del bad[at + 8 + size - 4 : at + 8 + size]
+    movi_at = bad.index(b"movi") - 8
+    (movi_size,) = _struct.unpack("<I", bad[movi_at + 4 : movi_at + 8])
+    bad[movi_at + 4 : movi_at + 8] = _struct.pack("<I", movi_size - 4)
+    bad[4:8] = _struct.pack("<I", len(bad) - 8)
+    meta2, frames2 = decode_avi_bytes(bytes(bad))
+    assert meta2[5] == 3 and len(frames2) == 3
+
+
+def test_unknown_video_backend_raises():
+    from features_engineering_of_motion_data_spark.operators.multimodal import (
+        decode_video,
+    )
+
+    with pytest.raises(NotImplementedError, match="'avi'"):
+        decode_video(None, backend="h264")
+
+
+def test_video_feeds_tier_feature_algebra_bitwise(spark):
+    """The video bridge: decoded AVI frames flow through the ENGINE'S OWN
+    tier feature pipeline (video_channel_frame -> features_from_turns) and
+    every finalized feature matches the independent numpy oracle bitwise —
+    the identical gate the transcript and audio channels pass."""
+    import pandas as pd
+
+    import oracle.features as orc
+    from features_engineering_of_motion_data_spark.operators.features import (
+        features_from_turns,
+    )
+    from features_engineering_of_motion_data_spark.operators.multimodal import (
+        decode_avi_bytes,
+        make_avi_payload,
+        video_channel_frame,
+    )
+
+    payloads = {
+        # low fps stretches frames across multiple 1m buckets
+        # (ts_us = i*1e6*scale//rate), so tier bucketing is exercised
+        1: make_avi_payload(1, n_frames=900, width=8, height=6, rate=8, scale=1),
+        2: make_avi_payload(2, n_frames=300, width=6, height=4, bpp=8, rate=4, scale=1),
+        3: make_avi_payload(3, n_frames=120, width=4, height=4, bpp=32, rate=2, scale=1),
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "payload": [payloads[1], payloads[2], payloads[3], b"not video"],
+        }
+    )
+    media = spark.createDataFrame(pdf)
+    got = (
+        features_from_turns(video_channel_frame(media), "1m")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert set(got["conv_id"]) == {"doc:1", "doc:2", "doc:3"}
+
+    frames_pdf = []
+    for doc_id, payload in payloads.items():
+        (_w, _h, _bpp, rate, scale, n), frames = decode_avi_bytes(payload)
+        xi = np.array([f.astype(np.int64).sum() for f in frames], dtype=np.int64)
+        i = np.arange(n, dtype=np.int64)
+        frames_pdf.append(
+            pd.DataFrame(
+                {
+                    "conv_id": f"doc:{doc_id}",
+                    "channel": "video_luma",
+                    "turn_idx": i,
+                    "ts_us": i * 1_000_000 * scale // rate,
+                    "x": xi,
+                }
+            )
+        )
+    want = orc.tier_features(pd.concat(frames_pdf, ignore_index=True), "1m")
+    want = want.sort_values(["conv_id", "bucket_us"], kind="mergesort").reset_index(
+        drop=True
+    )
+    assert len(got) == len(want) > 3
+    got["bucket_us"] = got["bucket_start"].astype("datetime64[us]").astype("int64")
+    assert (got["bucket_us"].to_numpy() == want["bucket_us"].to_numpy()).all()
+    for c in ("n", "s1", "min_raw", "max_raw", "zc"):
+        assert (
+            got[c].to_numpy().astype(np.int64)
+            == want[c].to_numpy().astype(np.int64)
+        ).all(), c
+    assert [int(v) for v in got["s2"]] == [int(v) for v in want["s2"]]
+    for c in ("f_mean", "f_std", "f_rms", "f_min", "f_max", "f_energy"):
+        a = got[c].to_numpy().astype(np.float64)
+        b = want[c].to_numpy().astype(np.float64)
+        assert (a == b).all(), c  # bitwise
