@@ -1010,6 +1010,94 @@ HAVING COUNT(*) >= 2
 """
 
 
+# --- q74: signal magnitude area per (conv, 1h bucket) -------------------------
+
+
+def q74_sma_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal magnitude area (SMA) per (conv, 1h bucket) — the canonical
+    HAR composite magnitude feature (Figo et al. 2010 §3.1: SMA =
+    (1/n)·Σ(|x|+|y|+|z|) across axes), applied to the transcript-derived
+    channel pair under q48's pair-in-bucket convention: an event
+    contributes iff its predecessor is in the same bucket; axis x = the
+    signal value, axis y = the inter-event gap.  Channels are
+    unit-normalized before combining (cents→value units by /100,
+    µs→seconds by /1e6) so the composite is scale-commensurate.
+
+    Exactness: Σ|c| and Σdt are exact BIGINTs (headroom: |c| ≤ 5·10⁴ cents
+    and Σdt per 1h bucket ≤ 3.6·10⁹ µs·convs — both orders of magnitude
+    inside 2⁵³, so a plain cast is correctly rounded); each emitted double
+    is the pinned left-associated tree ``cast(Σ)/cast(n)/unit`` and the
+    composite is the single further add of the two trees, written
+    identically in both engines.
+
+    Scale shape: one lag window + one hash agg, both keyed on conv — a
+    single shuffle, no Python.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("prev_ts", F.lag("ts_us").over(w))
+        .filter(
+            F.col("prev_ts").isNotNull()
+            & (_bucket(F.col("prev_ts"), HOUR_US) == _bucket(F.col("ts_us"), HOUR_US))
+        )
+    )
+    g = d.groupBy(
+        F.col("user_id").alias("conv_id"),
+        _bucket(F.col("ts_us"), HOUR_US).alias("bucket_us"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.abs(F.col("c"))).alias("sabs_value"),
+        F.sum(F.col("ts_us") - F.col("prev_ts")).alias("sabs_gap_us"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sma_v = F.col("sabs_value").cast("double") / nd / F.lit(100.0)
+    sma_g = F.col("sabs_gap_us").cast("double") / nd / F.lit(1e6)
+    return g.select(
+        "conv_id",
+        "bucket_us",
+        "n_pairs",
+        "sabs_value",
+        "sabs_gap_us",
+        sma_v.alias("sma_value"),
+        sma_g.alias("sma_gap_s"),
+        (sma_v + sma_g).alias("sma"),
+    )
+
+
+_Q74_SQL = f"""
+WITH c AS ({_C_SQL}), lagged AS (
+  SELECT user_id, ts_us, c,
+         lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS prev_ts
+  FROM c
+), pairs AS (
+  SELECT user_id,
+         ts_us - ts_us % {HOUR_US} AS bucket_us,
+         abs(c) AS av,
+         ts_us - prev_ts AS dt
+  FROM lagged
+  WHERE prev_ts IS NOT NULL
+    AND prev_ts - prev_ts % {HOUR_US} = ts_us - ts_us % {HOUR_US}
+), g AS (
+  SELECT user_id AS conv_id, bucket_us,
+         COUNT(*) AS n_pairs,
+         CAST(SUM(av) AS BIGINT) AS sabs_value,
+         CAST(SUM(dt) AS BIGINT) AS sabs_gap_us
+  FROM pairs GROUP BY 1, 2
+)
+SELECT conv_id, bucket_us, n_pairs, sabs_value, sabs_gap_us,
+       CAST(sabs_value AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 100.0
+         AS sma_value,
+       CAST(sabs_gap_us AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1000000.0
+         AS sma_gap_s,
+       CAST(sabs_value AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 100.0
+         + CAST(sabs_gap_us AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1000000.0
+         AS sma
+FROM g
+"""
+
+
 QUERIES = {
     "q64_temporal_moments_1d": q64_temporal_moments_1d,
     "q65_histogram_diversity_1h": q65_histogram_diversity_1h,
@@ -1021,6 +1109,7 @@ QUERIES = {
     "q71_ordinal_patterns_1d": q71_ordinal_patterns_1d,
     "q72_sample_entropy_1d": q72_sample_entropy_1d,
     "q73_mean_crossing_rate_1h": q73_mean_crossing_rate_1h,
+    "q74_sma_1h": q74_sma_1h,
 }
 
 ORACLE_SQL = {
@@ -1034,4 +1123,5 @@ ORACLE_SQL = {
     "q71_ordinal_patterns_1d": _q71_sql(),
     "q72_sample_entropy_1d": _Q72_SQL,
     "q73_mean_crossing_rate_1h": _Q73_SQL,
+    "q74_sma_1h": _Q74_SQL,
 }
