@@ -212,3 +212,19 @@ def test_shape_query_plans(spark, sf_dir):
         for node in ("BatchEvalPython", "ArrowEvalPython",
                      "FlatMapGroupsInPandas", "MapInPandas"):
             assert node not in plan, f"{q.__name__}: {node}"
+
+
+def test_detect_query_plans(spark, sf_dir):
+    """queries/detect.py scale shapes: every detection query is a
+    single-exchange JVM-only plan — q75's peak-interval window and final
+    agg, q76's neighborhood agg, and q77's prefix/total/rank windows all
+    cluster under the conv window's hash(user_id) exchange (subset rule)."""
+    from features_engineering_of_motion_data_spark.queries import detect
+
+    for q in (detect.q75_peak_census_1h, detect.q76_tkeo_dasdv_1d,
+              detect.q77_cusum_changepoint):
+        plan = _plan(q(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1, q.__name__
+        for node in ("BatchEvalPython", "ArrowEvalPython",
+                     "FlatMapGroupsInPandas", "MapInPandas"):
+            assert node not in plan, f"{q.__name__}: {node}"
