@@ -205,6 +205,9 @@ def main() -> None:
         # (bin -> bucket) aggregation shape
         "q65_histogram_diversity_1h",
         "q66_ar2_yule_walker",
+        # detection block representative: q77 = the ordered-prefix +
+        # exact-integer argmax selection shape (CUSUM changepoint)
+        "q77_cusum_changepoint",
     )
     # q34 at the PRODUCTION parameterization (cos >= 0.8, 8 bands x 8 bits):
     # the fixture default (cos >= 0.4, 16x4) is banding's worst regime and

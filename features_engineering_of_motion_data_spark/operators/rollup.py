@@ -91,6 +91,63 @@ def _merge_to_coarse(stats: DataFrame, coarse) -> DataFrame:
     )
 
 
+def rolling_merge(stats: DataFrame, tier: str, width: int) -> DataFrame:
+    """Trailing rolling window over a stats frame: for every *present*
+    bucket e, merge the present buckets in (e − (width−1)·tier, …, e] into
+    one sufficient-statistics row — 24h-rolling features from the 1h tier
+    without ever rescanning raw data (the continuous-aggregate answer to
+    "rolling mean over the last day": at 100 TB the window reads ≤ ``width``
+    tier rows per output row instead of millions of raw rows).
+
+    Same exact-integer algebra as :func:`rollup_merge`, expressed as a RANGE
+    frame over ``bucket_us`` so sparse series are handled exactly (absent
+    buckets simply contribute nothing, and the frame never invents rows).
+
+    The zero-crossing boundary term follows the same raw-pair semantics as
+    the cascade: the consecutive-turn pair (last turn of the previous
+    present bucket p, first turn of bucket b) counts in the window ending
+    at e iff BOTH buckets lie in the window.  Attaching the boundary
+    indicator to b, every in-frame bucket except the frame's FIRST has its
+    partner in-frame too (p is the largest present bucket < b, and the
+    frame is a contiguous bucket range), so the window term is
+    ``Σ_frame boundary − first(boundary)`` — exact, with no per-pair
+    membership test.
+
+    Output carries STAT_COLS keyed by the window's END bucket and feeds
+    :func:`~.features.finalize_features` unchanged.  Single-exchange: the
+    lag window, the range frame, and any upstream base aggregation all
+    cluster under hash(conv_id).
+    """
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    step = TIER_US[tier]
+    order = Window.partitionBy("conv_id", "channel").orderBy("bucket_us")
+    frame = order.rangeBetween(-(width - 1) * step, 0)
+    prev_last = F.lag("last_val").over(order)
+    boundary = (
+        prev_last.isNotNull() & (_sign(prev_last) * _sign(F.col("first_val")) < 0)
+    ).cast("long")
+    return stats.withColumn("_boundary", boundary).select(
+        "conv_id",
+        "channel",
+        "bucket_us",
+        F.sum("n").over(frame).alias("n"),
+        F.sum("s1").over(frame).alias("s1"),
+        F.sum("s2").over(frame).cast("decimal(38,0)").alias("s2"),
+        F.min("min_raw").over(frame).alias("min_raw"),
+        F.max("max_raw").over(frame).alias("max_raw"),
+        (
+            F.sum("zc").over(frame)
+            + F.sum("_boundary").over(frame)
+            - F.first("_boundary").over(frame)
+        ).alias("zc"),
+        F.first("first_ts_us").over(frame).alias("first_ts_us"),
+        F.col("last_ts_us"),
+        F.first("first_val").over(frame).alias("first_val"),
+        F.col("last_val"),
+    )
+
+
 # calendar tiers accepted by cascade_from_stats / jobs/rollup.py --tiers,
 # coarse→fine ordering implied by CAL_ORDER
 CAL_UNITS = ("week", "month", "quarter", "year")

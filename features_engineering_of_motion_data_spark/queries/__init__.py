@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import detect, events, relational, shape, signal, text, vector
+from . import detect, events, relational, rolling, shape, signal, text, vector
 
 # Registry order = driver execution order.  The round-3 driver truncated its
 # correctness sweep at 50 queries, leaving the tail (then text/vector)
@@ -28,7 +28,7 @@ from . import detect, events, relational, shape, signal, text, vector
 # so the least-recently-driver-verified block is always inside the window;
 # the events/relational/signal queries are the cheapest per-query and give
 # the sweep the best chance of finishing all of them too.
-_MODULES = (text, vector, events, relational, signal, shape, detect)
+_MODULES = (text, vector, events, relational, signal, shape, detect, rolling)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

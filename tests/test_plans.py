@@ -228,3 +228,17 @@ def test_detect_query_plans(spark, sf_dir):
         for node in ("BatchEvalPython", "ArrowEvalPython",
                      "FlatMapGroupsInPandas", "MapInPandas"):
             assert node not in plan, f"{q.__name__}: {node}"
+
+
+def test_rolling_query_plan(spark, sf_dir):
+    """q78: base lag window, 1h hash agg, boundary lag window, and the
+    RANGE rolling frame all ride one hash(conv) exchange; no Python."""
+    from features_engineering_of_motion_data_spark.queries.rolling import (
+        q78_rolling_features_24h,
+    )
+
+    plan = _plan(q78_rolling_features_24h(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    for node in ("BatchEvalPython", "ArrowEvalPython",
+                 "FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in plan, node
