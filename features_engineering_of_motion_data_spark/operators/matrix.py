@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .features import TIER_US, _sign
+from .features import TIER_US, _sign, aggregate_tier, finalize_features
 
 #: channels produced by operators/channels.derive_channels, with their
 #: raw-unit divisors (DESIGN.md §1: latency is stored in µs, reported in s)
@@ -139,3 +139,39 @@ def wide_tier_matrix(
         F.timestamp_micros(F.col("bucket_us")).alias("bucket_start"),
         *outs,
     )
+
+
+def wide_rolling_matrix(
+    channels_df: DataFrame, tier: str, width: int, channels=None
+) -> DataFrame:
+    """Rolling wide matrix: one row per (conv_id, window-END bucket_start),
+    columns ``{ch}__{feature}`` computed over the trailing ``width``
+    buckets via :func:`~.rollup.rolling_merge` — the model-facing shape of
+    the DESIGN.md §20 rolling-tier rule ("features over the last 24h,
+    hourly" without raw rescans).
+
+    Transpose nuance vs the §19 rule: the per-channel rolling RANGE frame
+    must run in long form, so the transpose necessarily FOLLOWS the
+    aggregation here — but it still costs no extra exchange, because every
+    stage (base channel window, tier agg, boundary lag, rolling frame,
+    final (conv, bucket) agg) clusters under the one hash(conv_id)
+    partitioning; §19's objection targets pivots whose upstream shuffled
+    on the full (conv, channel, bucket) key, not frames riding hash(conv).
+    Plan-asserted single exchange in tests/test_features_job.py.
+
+    Every cell is bit-identical to the long-form rolled value: the
+    transpose is ``min(when(channel = ch, col))`` over exactly one
+    non-null row per (conv, bucket, channel) — a copy, not arithmetic.
+    """
+    from .rollup import rolling_merge
+
+    chans = CHANNELS if channels is None else channels
+    rolled = finalize_features(
+        rolling_merge(aggregate_tier(channels_df, tier), tier, width)
+    )
+    aggs: list[Column] = []
+    for ch in chans:
+        cond = F.col("channel") == F.lit(ch)
+        for f in FEATURES:
+            aggs.append(F.min(F.when(cond, F.col(f))).alias(f"{ch}__{f}"))
+    return rolled.groupBy("conv_id", "bucket_start").agg(*aggs)

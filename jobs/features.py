@@ -42,6 +42,7 @@ from features_engineering_of_motion_data_spark.operators.channels import (
 from features_engineering_of_motion_data_spark.operators.matrix import (
     FEATURES,
     matrix_columns,
+    wide_rolling_matrix,
     wide_tier_matrix,
 )
 from features_engineering_of_motion_data_spark.operators.features import TIER_US
@@ -68,6 +69,17 @@ def parse_args(argv=None):
         help="pin the input snapshot-id; default = resolve the current one "
              "(the resolved id is recorded in the manifest either way)",
     )
+    p.add_argument(
+        "--rolling",
+        type=int,
+        default=None,
+        metavar="WIDTH",
+        help="emit TRAILING-window features instead of per-bucket ones: each "
+             "row covers the last WIDTH tier buckets ending at its "
+             "bucket_start (e.g. --tier 1h --rolling 24 = 24h rolling "
+             "features, hourly), merged from tier stats via rolling_merge — "
+             "never from raw rescans",
+    )
     p.add_argument("--master", default=None,
                    help="override master (tests); spark-submit sets it otherwise")
     return p.parse_args(argv)
@@ -79,11 +91,17 @@ def run(args) -> int:
     spark = get_spark(master=args.master, app_name="feature-matrix")
     snapshot = args.snapshot or resolve_snapshot(args.input)
     turns = read_transcripts(spark, args.input, snapshot_id=snapshot)
-    matrix = wide_tier_matrix(derive_channels(dedup_turns(turns)), args.tier)
+    ch = derive_channels(dedup_turns(turns))
+    if args.rolling:
+        matrix = wide_rolling_matrix(ch, args.tier, args.rolling)
+    else:
+        matrix = wide_tier_matrix(ch, args.tier)
     obs = Observation("matrix")
     matrix = matrix.withColumn("bucket_date", F.to_date(F.col("bucket_start")))
 
-    out = os.path.join(args.output, f"tier={args.tier}")
+    # rolling matrices live beside (not over) the per-bucket one
+    suffix = f"_roll{args.rolling}" if args.rolling else ""
+    out = os.path.join(args.output, f"tier={args.tier}{suffix}")
     (
         matrix.repartitionByRange(
             max(spark.sparkContext.defaultParallelism, 1),
@@ -105,6 +123,7 @@ def run(args) -> int:
         "input": args.input,
         "snapshot": snapshot,
         "tier": args.tier,
+        "rolling_width": args.rolling,
         "rows": int(rows),
         "value_columns": matrix_columns(),
         "features": list(FEATURES),

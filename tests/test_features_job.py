@@ -146,3 +146,84 @@ def test_features_job_cli(tiny_path, tmp_path, spark):
     assert sorted(CHANNELS) == sorted(
         {c.split("__")[0] for c in matrix_columns()}
     )
+
+
+def test_rolling_matrix_cells_bitwise_equal_long_form(channels_df):
+    """Every wide_rolling_matrix cell equals the long-form
+    rolling_merge+finalize value bitwise — the transpose copies, never
+    recomputes."""
+    from features_engineering_of_motion_data_spark.operators.features import (
+        aggregate_tier,
+        finalize_features,
+    )
+    from features_engineering_of_motion_data_spark.operators.matrix import (
+        wide_rolling_matrix,
+    )
+    from features_engineering_of_motion_data_spark.operators.rollup import (
+        rolling_merge,
+    )
+
+    wide = wide_rolling_matrix(channels_df, "1h", 24).toPandas()
+    long = finalize_features(
+        rolling_merge(aggregate_tier(channels_df, "1h"), "1h", 24)
+    ).toPandas()
+    oracle = {}
+    for row in long.itertuples():
+        cell = oracle.setdefault((row.conv_id, row.bucket_start), {})
+        for f in FEATURES:
+            cell[f"{row.channel}__{f}"] = getattr(row, f)
+    assert len(wide) == len(oracle)
+    checked = 0
+    for row in wide.itertuples():
+        cell = oracle[(row.conv_id, row.bucket_start)]
+        for col in matrix_columns():
+            got, want = getattr(row, col), cell.get(col)
+            if want is None or (isinstance(want, float) and want != want):
+                assert got is None or got != got, (row.conv_id, col, got)
+            else:
+                assert got == want, (row.conv_id, row.bucket_start, col)
+                checked += 1
+    assert checked > 500
+
+
+def test_rolling_matrix_plan_single_exchange_no_python(channels_df):
+    from features_engineering_of_motion_data_spark.operators.matrix import (
+        wide_rolling_matrix,
+    )
+
+    plan = (
+        wide_rolling_matrix(channels_df, "1h", 24)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                 "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_features_job_rolling_cli(tiny_path, tmp_path, spark):
+    from features_engineering_of_motion_data_spark.operators.matrix import (
+        wide_rolling_matrix,
+    )
+    import jobs.features as fj
+
+    out = str(tmp_path / "matrix_roll")
+    args = fj.parse_args(
+        ["--input", tiny_path, "--output", out, "--tier", "1h",
+         "--rolling", "24", "--master", "local[4]"]
+    )
+    assert fj.run(args) == 0
+    manifest = json.load(open(os.path.join(out, "_matrix_manifest.json")))
+    assert manifest["rolling_width"] == 24
+    back = spark.read.parquet(os.path.join(out, "tier=1h_roll24"))
+    assert back.count() == manifest["rows"]
+    expect = wide_rolling_matrix(
+        derive_channels(dedup_turns(read_transcripts(spark, tiny_path))),
+        "1h",
+        24,
+    )
+    got = back.drop("bucket_date")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
