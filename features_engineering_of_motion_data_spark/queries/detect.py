@@ -1,6 +1,7 @@
 """Detection-canon features (round-4, second half): peak census / step
-counting (q75), Teager–Kaiser operator energy + DASDV (q76), and the CUSUM
-changepoint locator (q77).
+counting (q75), Teager–Kaiser operator energy + DASDV (q76), the CUSUM
+changepoint locator (q77), and the lead–lag cross-channel correlation
+(q79 — the temporal companion of q48's lag-0 cross-correlation).
 
 These close the *detection* third of the motion-feature literature that the
 aggregation (q01/q62–q67) and census (q68/q71/q73) blocks don't cover:
@@ -317,14 +318,96 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 """
 
 
+# --- q79: lead-lag cross-correlation, value → next inter-event gap -----------
+
+
+def q79_crosscorr_value_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 cross-channel Pearson correlation per conversation between the
+    signal value xᵢ and the FOLLOWING inter-event gap yᵢ = tsᵢ₊₁ − tsᵢ —
+    the lead–lag companion of q48's lag-0 cross-channel correlation (does
+    amplitude predict the next sampling gap?).
+
+    Exactness: all five sufficient sums are exact decimal(38,0)/HUGEINT
+    (cents × µs products widened before multiplying); the Pearson numerator
+    N = n·Σxy − Σx·Σy and both variance terms D = n·Σ² − (Σ)² stay exact
+    integers, and the one emitted double is the pinned tree
+    ``cast(N) / sqrt(cast(Dx) · cast(Dy))`` — two correctly-rounded casts
+    (split_dbl in DuckDB, single-rounding decimal→double in Spark), one
+    multiply, one sqrt, one divide, identical in both engines.  Headroom:
+    n·Σy² ≲ n²·gap² < 2¹⁰¹ to ~10⁶ rows/conv at hour-scale gaps.
+
+    Scale shape: one lead window + one hash agg on conv — single exchange,
+    no Python.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = (
+        _base(spark, sf_dir)
+        .withColumn("ynext", F.lead("ts_us").over(w) - F.col("ts_us"))
+        .filter(F.col("ynext").isNotNull())
+    )
+    x, y = _dec(F.col("c")), _dec(F.col("ynext"))
+    g = d.groupBy(F.col("user_id").alias("conv_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum("ynext").alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sx2"),
+        F.sum(y * y).alias("sy2"),
+    )
+    n = _dec(F.col("n"))
+    num = n * F.col("sxy") - _dec(F.col("sx")) * _dec(F.col("sy"))
+    dx = n * F.col("sx2") - _dec(F.col("sx")) * _dec(F.col("sx"))
+    dy = n * F.col("sy2") - _dec(F.col("sy")) * _dec(F.col("sy"))
+    return g.filter((F.col("n") >= 2) & (dx > 0) & (dy > 0)).select(
+        "conv_id",
+        "n",
+        (
+            num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double"))
+        ).alias("r_xy1"),
+    )
+
+
+_Q79_SQL = f"""
+WITH c AS ({_C_SQL}), led AS (
+  SELECT user_id, c,
+         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           - ts_us AS ynext
+  FROM c
+), g AS (
+  SELECT user_id AS conv_id,
+         COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS sx,
+         CAST(SUM(ynext) AS BIGINT) AS sy,
+         SUM(CAST(c AS HUGEINT) * ynext) AS sxy,
+         SUM(CAST(c AS HUGEINT) * c) AS sx2,
+         SUM(CAST(ynext AS HUGEINT) * ynext) AS sy2
+  FROM led WHERE ynext IS NOT NULL
+  GROUP BY 1
+), t AS (
+  SELECT conv_id, n,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx AS dx,
+         CAST(n AS HUGEINT) * sy2 - CAST(sy AS HUGEINT) * sy AS dy
+  FROM g
+)
+SELECT conv_id, n,
+       {split_dbl("num")} / sqrt({split_dbl("dx")} * {split_dbl("dy")})
+         AS r_xy1
+FROM t
+WHERE n >= 2 AND dx > 0 AND dy > 0
+"""
+
+
 QUERIES = {
     "q75_peak_census_1h": q75_peak_census_1h,
     "q76_tkeo_dasdv_1d": q76_tkeo_dasdv_1d,
     "q77_cusum_changepoint": q77_cusum_changepoint,
+    "q79_crosscorr_value_gap": q79_crosscorr_value_gap,
 }
 
 ORACLE_SQL = {
     "q75_peak_census_1h": _Q75_SQL,
     "q76_tkeo_dasdv_1d": _Q76_SQL,
     "q77_cusum_changepoint": _Q77_SQL,
+    "q79_crosscorr_value_gap": _Q79_SQL,
 }

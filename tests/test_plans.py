@@ -222,7 +222,7 @@ def test_detect_query_plans(spark, sf_dir):
     from features_engineering_of_motion_data_spark.queries import detect
 
     for q in (detect.q75_peak_census_1h, detect.q76_tkeo_dasdv_1d,
-              detect.q77_cusum_changepoint):
+              detect.q77_cusum_changepoint, detect.q79_crosscorr_value_gap):
         plan = _plan(q(spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") == 1, q.__name__
         for node in ("BatchEvalPython", "ArrowEvalPython",
