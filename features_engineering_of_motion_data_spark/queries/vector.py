@@ -1,6 +1,9 @@
 """Similarity-search / embedding queries over ``embeddings``, plus MinHash-LSH
-near-dup over ``documents`` (the non-SQL-expressible scale path; rows-only
-driver check — pytest compares it against the exact-Jaccard oracle q25).
+near-dup over ``documents``.  Since round 4 EVERY query here is SQL-oracled:
+the MinHash/SimHash hashes are md5-hex based (cross-engine deterministic), so
+even the signature pipelines are hash-compared by the driver, and pytest
+additionally compares the verified LSH output against the exact-Jaccard
+oracle q25.
 
 Embeddings are bridged to exact integers by quantizing each float32 component
 to 1e-4 (q = round(v·10⁴) as BIGINT): dot products and norms are then exact
@@ -23,6 +26,38 @@ TOPK = 10
 # probability s² per band gives ≈99% recall at Jaccard 0.5 and ≈1-8e-8 at 0.8
 MINHASH_PERMS = 32
 LSH_BAND_ROWS = 2
+
+# Cross-engine deterministic hashing (round 4 — closes the last two
+# rows-only driver checks): both Spark and DuckDB emit lowercase-hex md5,
+# so int(md5(s)[:k], 16) is the SAME integer in both engines — unlike
+# xxhash64, which DuckDB lacks.  The MinHash permutation family is then a
+# classic universal hash over the 28-bit base value, h_p = (A_p·h + B_p)
+# mod (2³¹−1), with A_p/B_p themselves md5-derived literals baked into
+# BOTH the Spark expressions and the oracle SQL — one md5 per gram, and
+# 32 int64-native multiply-mod ops instead of 32 md5 calls.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _md5_int(s: str, k: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:k], 16)
+
+
+#: per-permutation universal-hash constants (A odd to be invertible mod 2³¹−1)
+_PERM_AB = [
+    (_md5_int(f"minhash-a-{p}", 7) | 1, _md5_int(f"minhash-b-{p}", 7))
+    for p in range(MINHASH_PERMS)
+]
+
+
+def _h_hex(col, k: int):
+    """int(md5(col)[:k], 16) as a Spark column (k ≤ 15 keeps it in int64)."""
+    return F.conv(F.substring(F.md5(col), 1, k), 16, 10).cast("long")
+
+
+def _h_hex_sql(expr: str, k: int) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, {k})) AS BIGINT)"
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,9 +189,13 @@ def q28_minhash_lsh_pairs(
     """Scale-path near-dup detection: shingle → 32-perm MinHash → 16 LSH
     bands of 2 rows → band-bucket join → exact Jaccard verify on candidates.
 
-    Not ANSI-SQL-expressible (per-permutation min-hash signatures) → driver
-    records a rows-only check; tests/test_text_dedup.py asserts the verified
-    output equals the brute-force q25 pairs above the threshold.
+    Fully SQL-oracled since round 4: the base hash is int(md5(gram)[:7],16)
+    and the permutations are the literal universal-hash family _PERM_AB —
+    both reproducible verbatim in DuckDB, so the ENTIRE pipeline (signature
+    mins, band keys, bucket cap, candidate join, exact verify) is mirrored
+    in _q28_sql() and hash-compared by the driver.  tests/test_text_dedup.py
+    additionally asserts the verified output equals the brute-force q25
+    pairs above the threshold.
 
     Pipeline-order contract: run exact dedup (q21) FIRST so byte-identical
     documents collapse before LSH; each band bucket is then capped at its
@@ -167,24 +206,33 @@ def q28_minhash_lsh_pairs(
     from .text import JACCARD_THRESHOLD
 
     g = _shingles(_with_tokens(_docs(spark, sf_dir)))
-    # minhash signature: for each permutation p, min over grams of
-    # xxhash64(p, gram) — all 32 permutations as separate min-aggregate
-    # expressions over ONE hash agg (the q29 SimHash pattern): zero row
-    # amplification, one shuffle of #gram rows with map-side partials,
-    # instead of exploding grams×32 (48M rows at sf0.1, 11.5 s → ~4 s)
+    # minhash signature: one md5 per gram (h = 28-bit base value), then for
+    # each permutation p, min over grams of (A_p·h + B_p) mod (2³¹−1) — all
+    # 32 permutations as separate min-aggregate expressions over ONE hash
+    # agg (the q29 SimHash pattern): zero row amplification, one shuffle of
+    # #gram rows with map-side partials, and the per-perm work is a single
+    # int64 multiply-mod (A_p < 2²⁸, h < 2²⁸ ⇒ product < 2⁵⁶, no overflow)
+    h = _h_hex(F.col("gram"), 7)
+    g = g.withColumn("h", h)
     sig = g.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(p), F.col("gram"))).alias(f"mh{p}")
-            for p in range(MINHASH_PERMS)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE31)).alias(
+                f"mh{p}"
+            )
+            for p, (a, b) in enumerate(_PERM_AB)
         ]
     )
-    # LSH: band key = hash of the band's LSH_BAND_ROWS signature slots,
+    # LSH: band key = md5-hash of the band's LSH_BAND_ROWS signature slots,
     # stacked to (doc_id, band, bkey) rows — #docs × #bands, tiny
     n_bands = MINHASH_PERMS // LSH_BAND_ROWS
     band_keys = [
-        F.xxhash64(
-            F.lit(b),
-            *[F.col(f"mh{b * LSH_BAND_ROWS + r}") for r in range(LSH_BAND_ROWS)],
+        _h_hex(
+            F.concat_ws(
+                "|",
+                F.lit(b),
+                *[F.col(f"mh{b * LSH_BAND_ROWS + r}") for r in range(LSH_BAND_ROWS)],
+            ),
+            15,
         ).alias(f"bk{b}")
         for b in range(n_bands)
     ]
@@ -239,19 +287,105 @@ def q28_minhash_lsh_pairs(
     return j.select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
 
 
+def _q28_sql() -> str:
+    """The q28 pipeline mirrored verbatim in DuckDB: same md5-hex base hash,
+    same _PERM_AB universal-hash literals, same band keys, same bucket cap,
+    same exact-Jaccard verify — the driver's hash equality checks the WHOLE
+    LSH pipeline, not just its verified output."""
+    from .text import JACCARD_THRESHOLD
+
+    n_bands = MINHASH_PERMS // LSH_BAND_ROWS
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {_MERSENNE31}) AS mh{p}"
+        for p, (a, b) in enumerate(_PERM_AB)
+    )
+    bkeys = ",\n         ".join(
+        _h_hex_sql(
+            "concat_ws('|', "
+            + ", ".join(
+                [str(b)]
+                + [f"mh{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS)]
+            )
+            + ")",
+            15,
+        )
+        + f" AS bk{b}"
+        for b in range(n_bands)
+    )
+    stack = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bk{b} AS bkey FROM bandkeys"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, gram
+  FROM toks, UNNEST(list_transform(range(1, greatest(len(t) - 1, 1)),
+                    i -> array_to_string(t[i:i+2], ' '))) AS u(gram)
+), hashed AS (
+  SELECT doc_id, gram, {_h_hex_sql("gram", 7)} AS h FROM grams
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY 1
+), bandkeys AS (
+  SELECT doc_id,
+         {bkeys}
+  FROM sig
+), band AS (
+  {stack}
+), capped AS (
+  SELECT doc_id, band, bkey FROM (
+    SELECT doc_id, band, bkey,
+           row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rnk
+    FROM band
+  ) WHERE rnk <= {LSH_BUCKET_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_inter,
+       sa.n_grams + sb.n_grams - n_inter AS n_union,
+       CAST(n_inter AS DOUBLE)
+         / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE)
+      / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
 # --- q29: SimHash document fingerprints (rows-only) --------------------------
 
 
-def q29_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit token SimHash per document: bit j of the signature is the sign
-    of Σ_tokens count·(±1) where ± is bit j of xxhash64(token). Near-dup docs
-    land at small Hamming distance (tests/test_text_dedup.py asserts the
-    correlation against the exact-Jaccard pairs). Rows-only driver check —
-    xxhash64 has no portable DuckDB equivalent.
+SIMHASH_BITS = 60
 
-    All 64 bit-sums are aggregate EXPRESSIONS in one hash aggregation (with
-    map-side partials) rather than an explode over j∈[0,64) — the earlier
-    formulation amplified the token frame 64× through a shuffle; this one
+
+def q29_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit token SimHash per document: bit j of the signature is the sign
+    of Σ_tokens count·(±1) where ± is bit j of int(md5(token)[:15], 16).
+    Near-dup docs land at small Hamming distance (tests/test_text_dedup.py
+    asserts the separation against the exact-Jaccard pairs).  Fully
+    SQL-oracled since round 4: the md5-hex hash is reproducible verbatim in
+    DuckDB (60 bits so the signature stays a non-negative BIGINT in both
+    engines — no sign-bit special case).
+
+    All 60 bit-sums are aggregate EXPRESSIONS in one hash aggregation (with
+    map-side partials) rather than an explode over j∈[0,60) — the earlier
+    formulation amplified the token frame 60× through a shuffle; this one
     shuffles only (doc_id, tok) rows and packs the signature in a single
     narrow select. Integer sums ⇒ result is identical at any parallelism."""
     toks = (
@@ -259,20 +393,47 @@ def q29_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", _h_hex(F.col("tok"), 15))
     )
     bit_sums = [
         F.sum(
             (F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) * 2 - 1) * F.col("cnt")
         ).alias(f"s{j}")
-        for j in range(64)
+        for j in range(SIMHASH_BITS)
     ]
     sums = toks.groupBy("doc_id").agg(*bit_sums)
     sig = None
-    for j in range(64):
-        b = (F.col(f"s{j}") > 0).cast("long") * F.lit(1 << j if j < 63 else -(1 << 63))
+    for j in range(SIMHASH_BITS):
+        b = (F.col(f"s{j}") > 0).cast("long") * F.lit(1 << j)
         sig = b if sig is None else sig + b
-    return sums.select("doc_id", sig.alias("simhash64"))
+    return sums.select("doc_id", sig.alias("simhash60"))
+
+
+def _q29_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"SUM((((h >> {j}) & 1) * 2 - 1) * cnt) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = "\n         + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2
+), h AS (
+  SELECT doc_id, cnt, {_h_hex_sql("tok", 15)} AS h FROM toks
+), s AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY 1
+)
+SELECT doc_id,
+       {sig} AS simhash60
+FROM s
+"""
 
 
 # --- q30: embedding-cosine near-duplicate pairs ------------------------------
@@ -863,9 +1024,12 @@ QUERIES = {
 ORACLE_SQL = {
     "q26_ann_cosine_topk": _Q26_SQL,
     "q27_label_centroids": _Q27_SQL,
-    # q28/q29 deliberately absent: MinHash/SimHash signatures hinge on
-    # xxhash64, which DuckDB lacks → rows-only driver check; exactness
-    # covered in pytest vs the brute-force oracles.
+    # q28/q29 gained full oracles in round 4: the md5-hex base hash and the
+    # _PERM_AB universal-hash literals reproduce verbatim in DuckDB, so the
+    # whole MinHash/SimHash pipelines are hash-compared, closing the last
+    # two rows-only driver checks.
+    "q28_minhash_lsh_pairs": _q28_sql(),
+    "q29_simhash_docs": _q29_sql(),
     "q30_embedding_near_dup": _Q30_SQL,
     "q31_ann_lsh_topk": _Q31_SQL,
     "q34_embedding_lsh_pairs": _Q34_SQL,

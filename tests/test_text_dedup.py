@@ -47,11 +47,11 @@ def test_simhash_separates_near_dups(spark, sf_dir):
         q29_simhash_docs,
     )
 
-    sig = q29_simhash_docs(spark, sf_dir).toPandas().set_index("doc_id")["simhash64"]
+    sig = q29_simhash_docs(spark, sf_dir).toPandas().set_index("doc_id")["simhash60"]
     brute = q25_ngram_jaccard_pairs(spark, sf_dir).toPandas()
 
     def hamming(a, b):
-        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+        return bin((int(a) ^ int(b)) & ((1 << 60) - 1)).count("1")
 
     near = np.array(
         [hamming(sig[r.doc_a], sig[r.doc_b]) for r in brute.itertuples()]
