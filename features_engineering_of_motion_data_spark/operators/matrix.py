@@ -162,6 +162,15 @@ def wide_rolling_matrix(
     Every cell is bit-identical to the long-form rolled value: the
     transpose is ``min(when(channel = ch, col))`` over exactly one
     non-null row per (conv, bucket, channel) — a copy, not arithmetic.
+
+    NULL semantics (consumer contract, mirrored in the jobs/features.py
+    manifest): rolling_merge keys windows by each channel's own *present*
+    buckets, and channel presence differs per bucket (e.g. text_len skips
+    null-text turns).  A row exists for every (conv, end-bucket) where at
+    least one channel has raw events in the END bucket, and a channel's
+    cells are NULL when that channel has no events in the end bucket —
+    NULL means "channel absent in the end bucket", NOT "empty trailing
+    window" (the channel may well have data earlier in the window).
     """
     from .rollup import rolling_merge
 

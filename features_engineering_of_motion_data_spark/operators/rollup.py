@@ -93,7 +93,8 @@ def _merge_to_coarse(stats: DataFrame, coarse) -> DataFrame:
 
 def rolling_merge(stats: DataFrame, tier: str, width: int) -> DataFrame:
     """Trailing rolling window over a stats frame: for every *present*
-    bucket e, merge the present buckets in (e − (width−1)·tier, …, e] into
+    bucket e, merge the present buckets in [e − (width−1)·tier, e] (``width``
+    buckets, inclusive at both ends — exactly the RANGE frame below) into
     one sufficient-statistics row — 24h-rolling features from the 1h tier
     without ever rescanning raw data (the continuous-aggregate answer to
     "rolling mean over the last day": at 100 TB the window reads ≤ ``width``

@@ -92,7 +92,10 @@ def run(args) -> int:
     snapshot = args.snapshot or resolve_snapshot(args.input)
     turns = read_transcripts(spark, args.input, snapshot_id=snapshot)
     ch = derive_channels(dedup_turns(turns))
-    if args.rolling:
+    # `is not None`, not truthiness: --rolling 0 must reach rolling_merge's
+    # width>=1 ValueError, not silently fall back to the per-bucket matrix
+    # (and overwrite the unsuffixed tier=<tier> output)
+    if args.rolling is not None:
         matrix = wide_rolling_matrix(ch, args.tier, args.rolling)
     else:
         matrix = wide_tier_matrix(ch, args.tier)
@@ -100,7 +103,7 @@ def run(args) -> int:
     matrix = matrix.withColumn("bucket_date", F.to_date(F.col("bucket_start")))
 
     # rolling matrices live beside (not over) the per-bucket one
-    suffix = f"_roll{args.rolling}" if args.rolling else ""
+    suffix = f"_roll{args.rolling}" if args.rolling is not None else ""
     out = os.path.join(args.output, f"tier={args.tier}{suffix}")
     (
         matrix.repartitionByRange(
@@ -127,6 +130,10 @@ def run(args) -> int:
         "rows": int(rows),
         "value_columns": matrix_columns(),
         "features": list(FEATURES),
+        # consumer contract (operators/matrix.py): a NULL cell means the
+        # channel had no events in the row's (end) bucket — for rolling
+        # matrices it does NOT mean the trailing window was empty
+        "null_semantics": "channel absent in the row's end bucket",
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     with open(os.path.join(args.output, "_matrix_manifest.json"), "w") as f:

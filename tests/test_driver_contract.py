@@ -7,11 +7,15 @@ Runs at sf0.001 for speed; the driver repeats this at sf0.01.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
 
 import __spark_entry__ as entrymod
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -114,3 +118,36 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert "f_mean" in df.columns
+
+
+def test_registry_rotation_complete():
+    """The explicit _ORDER rotation list IS the driver execution order:
+    exact set equality with the registry (a query added without a rotation
+    slot fails here, loudly), every query oracle-backed, and the
+    never-driver-attested block (positions 1–31 in round 5) inside the
+    driver's 50-query correctness window."""
+    from features_engineering_of_motion_data_spark.queries import _ORDER
+
+    qs = entrymod.queries()
+    assert set(_ORDER) == set(qs), (
+        f"rotation drift: only-in-_ORDER={set(_ORDER) - set(qs)}, "
+        f"missing-from-_ORDER={set(qs) - set(_ORDER)}"
+    )
+    assert list(qs) == list(_ORDER)
+    assert list(entrymod.oracle_sql()) == list(_ORDER)
+    window = set(list(qs)[:50])
+    assert set(_ORDER[:31]) <= window
+
+
+def test_q70_sax_nonvacuous_at_driver_scale(spark):
+    """q70's 1d grain exists because 1h buckets rarely reach the 4-sample PAA
+    minimum below sf0.1 (COVERAGE.md); guard that at the driver's own sf0.01
+    the query emits a non-trivial SAX-word population, so the oracle
+    comparison can never vacuously pass on near-empty output (measured:
+    845 rows at sf0.01, 81 at sf0.001)."""
+    from features_engineering_of_motion_data_spark.queries.shape import (
+        q70_paa_sax_1d,
+    )
+
+    sf001 = os.path.join(TESTDATA, "sf0.01")
+    assert q70_paa_sax_1d(spark, sf001).count() >= 100
