@@ -20,6 +20,13 @@ equally and the min approximates the unthrottled time.
 Scaling-efficiency evidence (N vs 4N cores) is produced separately by
 BENCH/run_scaling.py, which runs the cascade in fresh taskset-pinned child
 JVMs per core count (it does not call this file).
+
+The run is quiet-window GATED (round-4 verdict item 2): before anything
+starts, the engine-free register-only control (BENCH/freq_control.py) is
+sampled against its recorded quiet-window best, and the bench waits (bounded)
+for >=90 % host speed; the pre/post control readings are embedded in the
+output JSON (``freq_control_ops_per_core``) so the artifact carries its own
+host-speed evidence.
 """
 
 from __future__ import annotations
@@ -54,6 +61,7 @@ from features_engineering_of_motion_data_spark.sources.transcripts import (
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "bench")
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
 
 
 def _force(df) -> int:
@@ -61,7 +69,59 @@ def _force(df) -> int:
     return df.select(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
 
 
+def _freq_gate() -> dict:
+    """Quiet-window gate (round-4 verdict item 2): the committed bench
+    artifact must carry its own host-speed evidence, not rely on after-the-
+    fact attribution.  Samples the engine-free register-only control
+    (BENCH/freq_control.py's pinned worker) and, if the host is running
+    below 90 % of its recorded quiet-window best, waits — bounded by
+    SPARK_GRAFT_BENCH_QUIET_TIMEOUT (default 900 s) — for a quiet window
+    before letting the bench start.  Returns the control readings so they
+    are embedded in the bench JSON itself.
+    """
+    info: dict = {"quiet_best": None, "pre_samples": [], "pre_ratio": None,
+                  "gated": False}
+    try:
+        sys.path.insert(0, BENCH_DIR)
+        from freq_control import measure
+
+        with open(os.path.join(BENCH_DIR, "freq_control.json")) as f:
+            best = float(json.load(f)["best_ops_per_core"]["1"])
+    except Exception as e:  # no control record yet — run ungated, say so
+        info["error"] = f"{type(e).__name__}: {e}"
+        return info
+    info["quiet_best"] = round(best)
+    timeout = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_TIMEOUT", "900"))
+    t0 = time.time()
+    while True:
+        r = measure(1, 3.0)
+        info["pre_samples"].append(round(r))
+        info["pre_ratio"] = round(r / best, 3)
+        if r >= 0.9 * best:
+            info["gated"] = True
+            return info
+        if time.time() - t0 > timeout:
+            return info  # proceed anyway; the artifact shows the ratio
+        time.sleep(30)
+
+
+def _freq_post(info: dict) -> dict:
+    """One control sample after the bench: a run bracketed by two >=0.9
+    readings is evidenced quiet end-to-end."""
+    try:
+        from freq_control import measure
+
+        r = measure(1, 3.0)
+        info["post_sample"] = round(r)
+        if info.get("quiet_best"):
+            info["post_ratio"] = round(r / info["quiet_best"], 3)
+    except Exception as e:
+        info["post_error"] = f"{type(e).__name__}: {e}"
+    return info
+
+
 def main() -> None:
+    freq = _freq_gate()
     transcripts_path = ensure_transcripts_parquet(SCALE)
     # shuffle_partitions defaults to 4 waves/core (see session.py: measured
     # ~20% CPU cut on the cascade vs the old 1-wave layout)
@@ -208,6 +268,12 @@ def main() -> None:
         # detection block representative: q77 = the ordered-prefix +
         # exact-integer argmax selection shape (CUSUM changepoint)
         "q77_cusum_changepoint",
+        # round-5 product surfaces: q80 = the wide rolling matrix (tier agg →
+        # RANGE rolling merge → conditional-agg transpose, one exchange),
+        # q81 = the archive codec round-trip (applyInPandas encode +
+        # mapInPandas decode — the Arrow/numpy codec path under load)
+        "q80_rolling_wide_matrix_24h",
+        "q81_archive_roundtrip_1h",
     )
     # q34 at the PRODUCTION parameterization (cos >= 0.8, 8 bands x 8 bits):
     # the fixture default (cos >= 0.4, 16x4) is banding's worst regime and
@@ -272,6 +338,10 @@ def main() -> None:
         "bench_scale": SCALE,
         "feature_points": points,
         "lsh_candidates": lsh_candidates,
+        # engine-free host-speed control bracketing this run (ops/s/core of
+        # BENCH/freq_control.py's register-only loop vs its quiet-window
+        # best); pre_ratio/post_ratio ~1.0 = measured in a quiet window
+        "freq_control_ops_per_core": _freq_post(freq),
         "points_per_sec": {
             t: round(points[t] / timings[t], 1)
             for t in ("rollup_1m", "rollup_1h", "rollup_1d", "rollup_cascade_4x")
