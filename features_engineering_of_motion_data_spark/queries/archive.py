@@ -11,10 +11,14 @@ loop, so the driver's hash equality proves the encode→decode loop is exact —
 including element order, every timestamp bit, and every value bit (the md5
 covers the full decoded sequence, not just aggregates).
 
-Scale shape: encode groups ride one hash(conv) exchange; decode is a narrow
-mapInPandas explode; the digest agg's ``collect_list`` is bounded by bucket
-size (≤ one hour of one conversation), the same bound the archive payload
-itself has — this is an audit query, run per bucket, never a global collect.
+Scale shape: the turn-order window and the encode groupBy share ONE
+hash(conv_id) exchange (the window keys on the same string key the groupBy
+uses — plan-checked: two exchanges total); decode is a narrow mapInPandas
+explode, after which the digest agg necessarily re-shuffles (a pandas
+explode cannot advertise its partitioning to Catalyst).  The digest's
+``collect_list`` is bounded by bucket size (≤ one hour of one
+conversation), the same bound the archive payload itself has — this is an
+audit query, run per bucket, never a global collect.
 """
 
 from __future__ import annotations
@@ -37,13 +41,24 @@ def q81_archive_roundtrip_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the C1/C2 codecs, then digest the decoded rows per bucket:
     ``n``, ``s1`` (Σ cents), and ``digest`` = md5 of the turn-ordered
     ``turn_idx:ts_us:x`` series — compared against codec-free SQL."""
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # window on the STRING key the encode groupBy uses: alias tracking does
+    # not survive a cast, so partitioning by user_id here would force a
+    # second exchange before build_archive's groupBy(conv_id, channel) —
+    # keyed this way the window and the encode share one hash(conv_id)
+    # exchange (row_number per string key ≡ per user_id; the cast is 1:1)
+    w = Window.partitionBy("conv_id").orderBy("ts_us", "event_id")
     ch = _base(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.lit("value").alias("channel"),
-        F.row_number().over(w).cast("int").alias("turn_idx"),
         "ts_us",
         F.col("c").alias("x"),
+        "event_id",
+    ).select(
+        "conv_id",
+        "channel",
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        "ts_us",
+        "x",
     )
     decoded = decode_archive(build_archive(ch, "1h"))
     ser = F.concat_ws(
