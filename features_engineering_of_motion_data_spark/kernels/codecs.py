@@ -208,6 +208,46 @@ def decode_dod(buf: bytes) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
+#: below this length the pure-Python-int bit paths beat the vectorized ones:
+#: the numpy XOR encoder/decoder carry ~0.4/0.2 ms of fixed small-array
+#: allocation cost per CALL (clz/ctz popcounts, length chases), which
+#: dominates sparse-channel archives where most (conv, bucket) groups hold a
+#: handful of rows (measured: the q81 events archive averages 1.05 rows per
+#: 1h bucket, and the fast path cut encode+decode from ~0.6 ms to ~4 µs per
+#: bucket).  The int-accumulator packing is quadratic in n (every append
+#: shifts the whole big int), so the threshold must stay where measured
+#: cost still favors it: enc/dec small vs vec is 0.3/0.3 ms vs 4.4/2.9 ms
+#: at n=256, 2.6/3.2 vs 6.8/6.4 at n=1024, 34/42 vs 8/26 at n=4096.
+#: Both paths produce BYTE-IDENTICAL streams (parity-gated in test_codecs).
+_XOR_SMALL_N = 1024
+
+
+def _encode_xor_small(u: np.ndarray) -> bytes:
+    """Python-int bit packing of the SAME stream format as the vectorized
+    encoder — MSB-first control/lz/mlen/meaningful fields, zero-padded to a
+    byte boundary."""
+    acc = 0
+    nbits = 0
+    prev = 0
+    for val in u.tolist():
+        x = val ^ prev
+        prev = val
+        if x == 0:
+            acc <<= 1
+            nbits += 1
+            continue
+        lz = 64 - x.bit_length()
+        if lz > 31:
+            lz = 31
+        tz = (x & -x).bit_length() - 1
+        mlen = 64 - lz - tz
+        acc = (acc << 12) | (1 << 11) | (lz << 6) | (mlen - 1)
+        acc = (acc << mlen) | (x >> tz)
+        nbits += 12 + mlen
+    pad = (-nbits) % 8
+    return _header(len(u), 0) + (acc << pad).to_bytes((nbits + pad) // 8, "big")
+
+
 def encode_xor(vals: np.ndarray) -> bytes:
     """Encode a float64 (or int64-viewed) array via XOR-with-previous."""
     v = np.asarray(vals)
@@ -215,6 +255,8 @@ def encode_xor(vals: np.ndarray) -> bytes:
     n = len(u)
     if n == 0:
         return _header(0, 0)
+    if n <= _XOR_SMALL_N:
+        return _encode_xor_small(u)
     x = u ^ np.concatenate([[np.uint64(0)], u[:-1]])  # first value vs 0
     nz = x != 0
     lz = np.minimum(_clz64(x), 31)
@@ -245,11 +287,37 @@ def _xor_lengths(bits: np.ndarray) -> np.ndarray:
     return np.where(b[:B], 1 + 5 + 6 + mlen + 1, 1).astype(np.int64)
 
 
+def _decode_xor_small(n: int, payload: bytes) -> np.ndarray:
+    """Python-int bit walk — exact inverse of :func:`_encode_xor_small`
+    (and, byte-for-byte, of the vectorized encoder)."""
+    big = int.from_bytes(payload, "big")
+    total = len(payload) * 8
+    pos = 0
+    out = np.empty(n, dtype=np.uint64)
+    prev = 0
+    for i in range(n):
+        if (big >> (total - pos - 1)) & 1:
+            field = (big >> (total - pos - 12)) & 0x7FF  # lz(5) + mlen-1(6)
+            lz = field >> 6
+            mlen = (field & 0x3F) + 1
+            pay = (big >> (total - pos - 12 - mlen)) & ((1 << mlen) - 1)
+            prev ^= pay << (64 - lz - mlen)
+            pos += 12 + mlen
+        else:
+            pos += 1
+        out[i] = prev
+    return out
+
+
 def decode_xor(buf: bytes, dtype=np.float64) -> np.ndarray:
     """Exact inverse of :func:`encode_xor`."""
-    n, _seed, bits = _parse_header(buf)
+    n = int(np.frombuffer(buf[:8], dtype="<i8")[0])
     if n == 0:
         return np.empty(0, dtype=dtype)
+    if n <= _XOR_SMALL_N:
+        u = _decode_xor_small(n, buf[16:])
+        return u.view(dtype) if dtype != np.uint64 else u
+    n, _seed, bits = _parse_header(buf)
     L = _xor_lengths(bits)
     B = len(bits)
     nxt = np.minimum(np.arange(B, dtype=np.int64) + L, B)

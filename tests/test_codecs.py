@@ -147,3 +147,51 @@ def test_scaling_sizes(n):
     ts = EPOCH + np.cumsum(rng.integers(1, 10**7, n))
     _rt_ts(ts)
     _rt_vals(rng.normal(size=n))
+
+
+# --- small/vectorized XOR path parity (the dispatch must be invisible) ------
+
+
+def test_xor_small_vec_parity():
+    """encode_xor dispatches small arrays (n <= _XOR_SMALL_N) to a
+    Python-int bit packer; the two implementations must produce
+    BYTE-IDENTICAL streams and decode each other's output bit-exactly —
+    including -0.0, infinities, zero-XOR runs, and the lz > 31 clip."""
+    import features_engineering_of_motion_data_spark.kernels.codecs as C
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for n in (1, 2, 3, 17, 64, 255, C._XOR_SMALL_N):
+        cases.append(rng.standard_normal(n))
+        v = rng.standard_normal(n)
+        v[rng.random(n) < 0.5] = 0.0
+        v[0] = -0.0
+        cases.append(v)
+        # tiny-exponent values exercise the lz-clip (clz > 31) branch
+        cases.append(rng.standard_normal(n) * np.float64(2.0) ** -1000)
+    for v in cases:
+        u = v.view(np.uint64)
+        small = C._encode_xor_small(u)
+        old = C._XOR_SMALL_N
+        C._XOR_SMALL_N = 0
+        try:
+            vec = C.encode_xor(v)
+            dec_vec = C.decode_xor(small)
+        finally:
+            C._XOR_SMALL_N = old
+        assert small == vec
+        np.testing.assert_array_equal(
+            C._decode_xor_small(len(u), small[16:]), u
+        )
+        np.testing.assert_array_equal(dec_vec.view(np.uint64), u)
+
+
+def test_xor_roundtrip_above_small_threshold():
+    """Arrays past the dispatch threshold take the vectorized path end to
+    end and still round-trip bit-exactly."""
+    import features_engineering_of_motion_data_spark.kernels.codecs as C
+
+    rng = np.random.default_rng(13)
+    v = rng.standard_normal(C._XOR_SMALL_N * 3)
+    v[rng.random(len(v)) < 0.3] = 0.0
+    _rt_vals(v)
