@@ -55,6 +55,11 @@ def measure(k: int, secs: float = 8.0) -> float:
 
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    ks = (
+        tuple(int(x) for x in sys.argv[2].split(","))
+        if len(sys.argv) > 2
+        else (1, 4, 8)
+    )
     out_path = os.path.join(REPO, "BENCH", "freq_control.json")
     best: dict[int, float] = {}
     samples: list[dict] = []
@@ -63,7 +68,7 @@ def main() -> None:
         samples = prior.get("samples", [])
         best = {int(k): v for k, v in prior.get("best_ops_per_core", {}).items()}
     for rep in range(reps):
-        for k in (1, 4, 8):  # interleaved so host drift hits all K equally
+        for k in ks:  # interleaved so host drift hits all K equally
             t0 = time.time()
             # loadavg on this host can sit inflated (~2-4) with vmstat showing
             # 100% idle - phantom load from stuck kernel threads. Bounded wait:

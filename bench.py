@@ -86,7 +86,8 @@ def _freq_gate() -> dict:
         from freq_control import measure
 
         with open(os.path.join(BENCH_DIR, "freq_control.json")) as f:
-            best = float(json.load(f)["best_ops_per_core"]["1"])
+            bests = json.load(f)["best_ops_per_core"]
+        best = float(bests["1"])
     except Exception as e:  # no control record yet — run ungated, say so
         info["error"] = f"{type(e).__name__}: {e}"
         return info
@@ -99,10 +100,25 @@ def _freq_gate() -> dict:
         info["pre_ratio"] = round(r / best, 3)
         if r >= 0.9 * best:
             info["gated"] = True
-            return info
+            break
         if time.time() - t0 > timeout:
-            return info  # proceed anyway; the artifact shows the ratio
+            break  # proceed anyway; the artifact shows the ratio
         time.sleep(30)
+    # All-core reading: the bench runs local[CPUS], whose speed is set by the
+    # ALL-core clock, not the 1-core turbo the gate above samples — on this
+    # host the two diverge (r4: 1-core control 0.94+ of quiet best while
+    # local[32] walls ran 1.3x r3's). One K=CPUS sample, ratioed against its
+    # own recorded quiet best when present, makes that divergence visible
+    # inside the artifact instead of needing after-the-fact attribution.
+    try:
+        k = min(CPUS, os.cpu_count() or CPUS)
+        r = measure(k, 3.0)
+        info["pre_allcore"] = {"k": k, "ops_per_core": round(r)}
+        if str(k) in bests:
+            info["pre_allcore"]["ratio"] = round(r / float(bests[str(k)]), 3)
+    except Exception as e:
+        info["pre_allcore_error"] = f"{type(e).__name__}: {e}"
+    return info
 
 
 def _freq_post(info: dict) -> dict:
@@ -115,6 +131,14 @@ def _freq_post(info: dict) -> dict:
         info["post_sample"] = round(r)
         if info.get("quiet_best"):
             info["post_ratio"] = round(r / info["quiet_best"], 3)
+        pre_all = info.get("pre_allcore")
+        if pre_all:
+            k = pre_all["k"]
+            r = measure(k, 3.0)
+            info["post_allcore"] = {"k": k, "ops_per_core": round(r)}
+            if "ratio" in pre_all and pre_all["ops_per_core"]:
+                best_k = pre_all["ops_per_core"] / pre_all["ratio"]
+                info["post_allcore"]["ratio"] = round(r / best_k, 3)
     except Exception as e:
         info["post_error"] = f"{type(e).__name__}: {e}"
     return info
